@@ -1,0 +1,10 @@
+"""Relative entropy coding core (ref rec/coding/__init__.py:1-2)."""
+
+from .coder import BeamSearchCoder, CodedLatent, GaussianCoder
+from .gauss import GaussianParams, kl_divergence
+from .utils import CodingError
+
+__all__ = [
+    "BeamSearchCoder", "CodedLatent", "GaussianCoder", "GaussianParams",
+    "kl_divergence", "CodingError",
+]

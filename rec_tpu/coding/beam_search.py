@@ -1,0 +1,168 @@
+"""Beam-search relative entropy coding — the production coder.
+
+Reference semantics (rec/coding/beam_search_coder.py): keep B beams of partial
+cumulative auxiliary-variable sums; per KL partition draw n_samples candidates
+per beam from a stream determined by the beam's *index history*, score all
+B x n_samples combined samples by log q_aux(x) - log p_cum_aux(x), keep the
+top B.  The decoder replays only the winning beam's candidate streams from the
+transmitted indices.
+
+TPU-first re-design:
+  * the partition loop is a masked ``lax.scan`` (static max_partitions);
+  * candidate scoring is one fused (B, S, D) log-density-ratio reduction
+    (quadratic form — XLA maps the contraction onto the MXU for large D; a
+    Pallas kernel for the fully-fused generate+score path lives in
+    rec_tpu/ops/beam_score.py);
+  * beam selection is ``lax.top_k`` over B*S;
+  * candidate streams are counter-based: key = fold(step, FNV-1a(history)),
+    replacing the reference's biased mod-10007 hash (beam_search_coder.py:32)
+    with proper mixing while keeping the (index-prefix -> stream) contract;
+  * everything ``vmap``s over latent blocks and ``shard_map``s over chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import rng
+from .gauss import (GaussianParams, auxiliary_target, kl_divergence,
+                    log_density_ratio)
+from .importance import tree_where
+from .partition import aux_variance_ratio, num_partitions
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamSearchConfig:
+    """Paper knobs: Omega=kl_per_partition, B=n_beams, (1+eps)=extra_samples
+    (ref beam_search_coder.py:414-429, README.md:74-80)."""
+
+    kl_per_partition: float = 3.0
+    n_beams: int = 20
+    extra_samples: float = 1.2
+    max_partitions: int = 24
+
+    @property
+    def n_samples(self) -> int:
+        """Candidates per beam per partition: floor(e^(Omega * extra))."""
+        return int(math.exp(self.kl_per_partition * self.extra_samples))
+
+    def codelength_nats(self, count) -> jnp.ndarray:
+        """count * ln(n_samples) (ref beam_search_coder.py:549-550)."""
+        return count * jnp.log(float(self.n_samples))
+
+
+class BeamCodedBlock(NamedTuple):
+    indices: jnp.ndarray  # (max_partitions,) int32 — winning beam's candidates
+    count: jnp.ndarray    # () int32
+    sample: jnp.ndarray   # (D,)
+
+
+def _beam_candidates(cfg: BeamSearchConfig, skey, hashes, aux_scale):
+    """(B, S, D) standard candidates scaled by the aux coder, one stream per
+    beam history hash."""
+    S, D = cfg.n_samples, aux_scale.shape[-1]
+
+    def one(h):
+        return rng.normal_stream(rng.beam_stream_key(skey, h), (S, D))
+
+    return aux_scale * jax.vmap(one)(hashes)[...]
+
+
+def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
+                 coder: GaussianParams, block_key,
+                 ratios: Optional[jnp.ndarray] = None) -> BeamCodedBlock:
+    """Beam-search encode of one latent block (ref beam_search_coder.py:452-521)."""
+    D = target.loc.shape[-1]
+    B, S, P = cfg.n_beams, cfg.n_samples, cfg.max_partitions
+
+    total_kl = jnp.sum(kl_divergence(target, coder))
+    # Clamped to the static scan budget — see importance.encode_block.
+    n = jnp.minimum(num_partitions(total_kl, cfg.kl_per_partition),
+                    cfg.max_partitions)
+    p_var = coder.var
+
+    def step(carry, t):
+        beams, hashes, beam_indices, cum_var = carry
+        i = n - 1 - t
+        ratio = aux_variance_ratio(i, ratios)
+        aux_var = ratio * jnp.maximum(p_var - cum_var, 0.0)
+        aux_scale = jnp.sqrt(aux_var)
+        cum_scale = jnp.sqrt(aux_var + cum_var)
+        # Target of the *cumulative* auxiliary variable A_1+...+A_t.
+        aux_t = auxiliary_target(target, coder, aux_var + cum_var)
+        cum_coder = GaussianParams(jnp.zeros((D,), beams.dtype), cum_scale)
+
+        skey = rng.step_key(block_key, t)
+        cands = _beam_candidates(cfg, skey, hashes, aux_scale)    # (B, S, D)
+        combined = beams[:, None, :] + cands                       # (B, S, D)
+        scores = jnp.sum(log_density_ratio(combined, aux_t, cum_coder), axis=-1)
+        # First partition: all beams share the empty history, so their
+        # candidate sets are identical; restrict to beam 0 to get B distinct
+        # starts (ref beam_search_coder.py:495-505 uses a single stream).
+        beam_ids = jnp.arange(B)
+        scores = jnp.where((t == 0) & (beam_ids[:, None] > 0), -jnp.inf, scores)
+
+        _, flat = jax.lax.top_k(scores.reshape(-1), B)
+        parent = flat // S
+        cand = (flat % S).astype(jnp.int32)
+
+        new_beams = combined[parent, flat % S]
+        new_hashes = rng.fnv_step(hashes[parent], cand)
+        new_beam_indices = beam_indices[parent].at[:, t].set(cand)
+
+        active = t < n
+        carry = tree_where(
+            active,
+            (new_beams, new_hashes, new_beam_indices, cum_var + aux_var),
+            (beams, hashes, beam_indices, cum_var))
+        return carry, None
+
+    init = (jnp.zeros((B, D), jnp.float32),
+            jnp.full((B,), rng.fnv_init()),
+            jnp.zeros((B, P), jnp.int32),
+            jnp.zeros((D,), jnp.float32))
+    (beams, _, beam_indices, _), _ = jax.lax.scan(
+        step, init, jnp.arange(P, dtype=jnp.int32))
+
+    return BeamCodedBlock(indices=beam_indices[0], count=n,
+                          sample=beams[0] + coder.loc)
+
+
+def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
+                 indices: jnp.ndarray, count, block_key,
+                 ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Replay the winning beam's candidate streams (ref
+    beam_search_coder.py:523-547)."""
+    D = coder.loc.shape[-1]
+    S = cfg.n_samples
+    count = jnp.minimum(count, cfg.max_partitions)
+    p_var = coder.var
+
+    def step(carry, t):
+        sample, h, cum_var = carry
+        i = count - 1 - t
+        ratio = aux_variance_ratio(i, ratios)
+        aux_var = ratio * jnp.maximum(p_var - cum_var, 0.0)
+        aux_scale = jnp.sqrt(aux_var)
+
+        skey = rng.step_key(block_key, t)
+        eps = rng.normal_stream(rng.beam_stream_key(skey, h), (S, D))
+        idx = indices[t]
+        new_sample = sample + aux_scale * eps[idx]
+        new_h = rng.fnv_step(h, idx)
+
+        carry = tree_where(t < count,
+                           (new_sample, new_h, cum_var + aux_var),
+                           (sample, h, cum_var))
+        return carry, None
+
+    init = (jnp.zeros((D,), jnp.float32), rng.fnv_init(),
+            jnp.zeros((D,), jnp.float32))
+    (sample, _, _), _ = jax.lax.scan(
+        step, init, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    return sample + coder.loc

@@ -1,0 +1,189 @@
+"""Importance-sampling relative entropy coding (Gaussian), TPU-first.
+
+Replaces the reference's per-partition Python loop + stateful-seed importance
+sampler (ref rec/coding/importance_sampling.py, rec/coding/coder.py:493-584)
+with a single ``lax.scan`` over a static ``max_partitions`` budget, masked by
+the data-dependent partition count, so whole latent blocks encode as one
+compiled program and ``vmap`` across blocks / ``shard_map`` across chips.
+
+Candidate proposals are drawn in fixed-size chunks from counter-based streams
+(rng.py) with a running argmax, bounding VMEM instead of materialising all
+2^coding_bits proposals at once.  Decode regenerates only the chunk containing
+the transmitted index — same stream addresses, bit-identical samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import rng
+from .gauss import (GaussianParams, auxiliary_target, conditional_coder,
+                    conditional_target, kl_divergence, log_density_ratio,
+                    standard_normal_like)
+from .partition import aux_variance_ratio, num_partitions
+
+
+def tree_where(pred, new, old):
+    """Select whole pytrees by a scalar predicate (mask for inactive steps)."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(pred, n, o), new, old)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImportanceCoderConfig:
+    """GaussianCoder + ImportanceSampler knobs (ref samplers.py:61-101).
+
+    ``coding_bits`` bits are spent per partition (2^bits proposals);
+    ``max_partitions`` is the static scan budget (callers must ensure
+    ceil(KL/Omega) <= max_partitions, cf. ref coder.py:226-230).
+    """
+
+    kl_per_partition: float = 3.0
+    coding_bits: int = 12
+    max_partitions: int = 24
+    candidate_chunk: int = 1024
+
+    @property
+    def num_candidates(self) -> int:
+        return 1 << self.coding_bits
+
+    @property
+    def num_chunks(self) -> int:
+        chunk = min(self.candidate_chunk, self.num_candidates)
+        return -(-self.num_candidates // chunk)
+
+    @property
+    def chunk_size(self) -> int:
+        return min(self.candidate_chunk, self.num_candidates)
+
+
+class CodedBlock(NamedTuple):
+    indices: jnp.ndarray  # (max_partitions,) int32, valid for t < count
+    count: jnp.ndarray    # () int32 — number of partitions actually coded
+    sample: jnp.ndarray   # (D,) the coded (decoder-reproducible) sample
+
+
+def _argmax_candidate(cfg: ImportanceCoderConfig, skey, std_target: GaussianParams):
+    """Running argmax of importance weights over chunked proposal streams.
+
+    Returns (global index, winning standard-normal proposal vector).
+    """
+    D = std_target.loc.shape[-1]
+    C = cfg.chunk_size
+    std = standard_normal_like(std_target.loc)
+
+    def chunk_step(carry, c):
+        best_w, best_idx, best_eps = carry
+        eps = rng.normal_stream(jax.random.fold_in(skey, c), (C, D))
+        logw = jnp.sum(log_density_ratio(eps, std_target, std), axis=-1)
+        j = jnp.argmax(logw)
+        better = logw[j] > best_w
+        return (jnp.where(better, logw[j], best_w),
+                jnp.where(better, c * C + j, best_idx),
+                jnp.where(better, eps[j], best_eps)), None
+
+    init = (jnp.asarray(-jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32),
+            jnp.zeros((D,), jnp.float32))
+    (best_w, best_idx, best_eps), _ = jax.lax.scan(
+        chunk_step, init, jnp.arange(cfg.num_chunks, dtype=jnp.int32))
+    return best_idx.astype(jnp.int32), best_eps
+
+
+def _regen_candidate(cfg: ImportanceCoderConfig, skey, index, dim: int):
+    """Decode side: regenerate exactly the winning proposal from its index."""
+    C = cfg.chunk_size
+    eps = rng.normal_stream(jax.random.fold_in(skey, index // C), (C, dim))
+    return eps[index % C]
+
+
+def encode_gaussian_importance_sample(target: GaussianParams,
+                                      coder: GaussianParams,
+                                      key, coding_bits: int,
+                                      candidate_chunk: int = 1024):
+    """Single-shot importance coding of target vs coder (ref
+    importance_sampling.py:186-256, alpha=inf path).  Returns (index, sample).
+    """
+    cfg = ImportanceCoderConfig(coding_bits=coding_bits,
+                                candidate_chunk=candidate_chunk)
+    std_target = GaussianParams((target.loc - coder.loc) / coder.scale,
+                                target.scale / coder.scale)
+    idx, eps = _argmax_candidate(cfg, key, std_target)
+    return idx, coder.loc + coder.scale * eps
+
+
+def decode_gaussian_importance_sample(coder: GaussianParams, index, key,
+                                      coding_bits: int,
+                                      candidate_chunk: int = 1024):
+    cfg = ImportanceCoderConfig(coding_bits=coding_bits,
+                                candidate_chunk=candidate_chunk)
+    eps = _regen_candidate(cfg, key, index, coder.loc.shape[-1])
+    return coder.loc + coder.scale * eps
+
+
+def encode_block(cfg: ImportanceCoderConfig, target: GaussianParams,
+                 coder: GaussianParams, block_key,
+                 ratios: Optional[jnp.ndarray] = None) -> CodedBlock:
+    """Encode one latent block: scan over KL partitions (ref coder.py:493-559).
+
+    Every step (including the last, via ratio(0)=1) is a uniform auxiliary
+    step; the final conditional coder collapses to a point mass whose loc IS
+    the coded sample, which makes the whole chain one masked scan.
+    """
+    total_kl = jnp.sum(kl_divergence(target, coder))
+    # Clamp to the static scan budget: an over-budget block is coded with the
+    # best max_partitions-step approximation instead of silently reporting a
+    # count larger than the number of indices that exist (which would corrupt
+    # the container).  Callers size max_partitions via required_partitions().
+    n = jnp.minimum(num_partitions(total_kl, cfg.kl_per_partition),
+                    cfg.max_partitions)
+
+    def step(carry, t):
+        tgt, cod = carry
+        i = n - 1 - t
+        ratio = aux_variance_ratio(i, ratios)
+        aux_var = ratio * cod.var
+        aux_t = auxiliary_target(tgt, cod, aux_var)
+        aux_scale = jnp.sqrt(aux_var)
+        # Standardize the aux pair w.r.t. the (zero-mean) aux coder.
+        std_t = GaussianParams(aux_t.loc / aux_scale, aux_t.scale / aux_scale)
+        idx, eps = _argmax_candidate(cfg, rng.step_key(block_key, t), std_t)
+        aux_sample = aux_scale * eps
+        new_tgt = conditional_target(tgt, cod, aux_var, aux_sample)
+        new_cod = conditional_coder(cod, aux_var, aux_sample)
+        active = t < n
+        carry = tree_where(active, (new_tgt, new_cod), (tgt, cod))
+        return carry, jnp.where(active, idx, 0)
+
+    (_, final_coder), indices = jax.lax.scan(
+        step, (target, coder), jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    return CodedBlock(indices=indices, count=n, sample=final_coder.loc)
+
+
+def decode_block(cfg: ImportanceCoderConfig, coder: GaussianParams,
+                 indices: jnp.ndarray, count, block_key,
+                 ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Regenerate the coded sample from (indices, count) (ref coder.py:561-584)."""
+    D = coder.loc.shape[-1]
+    count = jnp.minimum(count, cfg.max_partitions)
+
+    def step(cod, t):
+        i = count - 1 - t
+        ratio = aux_variance_ratio(i, ratios)
+        aux_var = ratio * cod.var
+        aux_scale = jnp.sqrt(aux_var)
+        eps = _regen_candidate(cfg, rng.step_key(block_key, t), indices[t], D)
+        new_cod = conditional_coder(cod, aux_var, aux_scale * eps)
+        return tree_where(t < count, new_cod, cod), None
+
+    final_coder, _ = jax.lax.scan(
+        step, coder, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    return final_coder.loc
+
+
+def codelength_nats(cfg: ImportanceCoderConfig, count) -> jnp.ndarray:
+    """count * coding_bits * ln 2 (ref samplers.py:100-101)."""
+    return count * cfg.coding_bits * jnp.log(2.0)

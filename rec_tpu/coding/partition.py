@@ -1,0 +1,121 @@
+"""KL partitioning and latent-block split/merge.
+
+A latent tensor's total KL is cut into <= Omega-nat chunks by a sequence of
+auxiliary variables whose variance ratios follow either the reference's
+empirical power law or a learned per-index table (ref coder.py:16,218-220).
+
+``split``/``merge`` flatten a latent tensor, apply a fixed pseudo-random
+permutation (so each block sees a representative KL mix), and cut it into
+equal ``block_size`` chunks (ref coder.py:38-122).  TPU-first difference: the
+ragged tail is *padded* with target==coder dimensions.  Padded dims have KL 0
+and contribute exactly 0 to every candidate score, so they are coding no-ops,
+and every block having identical shape means the whole per-block codec is a
+single ``vmap`` (and, under a mesh, a ``shard_map``) instead of the
+reference's serial Python loop over blocks (ref coder.py:435-452).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import rng
+from .gauss import GaussianParams, kl_divergence
+
+# Empirical auxiliary-variance-ratio power law fitted by the reference authors:
+# ratio(i) = (i + 1) ** AUX_RATIO_POWER_LAW   (ref coder.py:16,218-220).
+AUX_RATIO_POWER_LAW = -0.7864636765648174
+
+
+def aux_variance_ratio(index, ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Variance ratio for auxiliary variable ``index`` (0 is the last/full one).
+
+    ``index`` may be a traced integer.  With ``ratios=None`` uses the power
+    law; otherwise looks up a learned table (clamped gather so masked lanes
+    with garbage indices stay in-bounds).
+    """
+    if ratios is None:
+        return jnp.power(jnp.asarray(index, jnp.float32) + 1.0, AUX_RATIO_POWER_LAW)
+    idx = jnp.clip(index, 0, ratios.shape[0] - 1)
+    return ratios[idx]
+
+
+def num_partitions(total_kl, kl_per_partition) -> jnp.ndarray:
+    """ceil(KL / Omega), clamped to >= 1 (the reference always emits at least
+    one index: its final coded_sample runs unconditionally, ref
+    coder.py:542-558)."""
+    n = jnp.ceil(total_kl / kl_per_partition).astype(jnp.int32)
+    return jnp.maximum(n, 1)
+
+
+class BlockSplit(NamedTuple):
+    """Static split geometry for a flattened latent of ``num_dims`` dims."""
+
+    num_dims: int
+    block_size: int
+    num_blocks: int
+    padded: int
+
+
+def plan_split(num_dims: int, block_size: Optional[int]) -> BlockSplit:
+    if block_size is None or block_size >= num_dims:
+        return BlockSplit(num_dims, num_dims, 1, num_dims)
+    num_blocks = -(-num_dims // block_size)
+    return BlockSplit(num_dims, block_size, num_blocks, num_blocks * block_size)
+
+
+def split_permutation(root: jax.Array, plan: BlockSplit) -> jnp.ndarray:
+    """The shared pseudo-random permutation of flattened dims (ref
+    coder.py:62 uses a fixed seed; here it hangs off the transmitted root
+    key so encoder and decoder derive it identically)."""
+    return jax.random.permutation(rng.split_key(root), plan.num_dims)
+
+
+def split_pair(target: GaussianParams, coder: GaussianParams,
+               plan: BlockSplit, perm: jnp.ndarray):
+    """Split (target, coder) into (num_blocks, block_size) blocks.
+
+    Padding appends target==coder dims (standard normal), which are exact
+    coding no-ops (KL 0, zero score contribution).
+    """
+    t_loc, t_scale, p_loc, p_scale = (
+        jnp.ravel(target.loc)[perm], jnp.ravel(target.scale)[perm],
+        jnp.ravel(coder.loc)[perm], jnp.ravel(coder.scale)[perm])
+    pad = plan.padded - plan.num_dims
+    if pad:
+        zeros, ones = jnp.zeros((pad,), t_loc.dtype), jnp.ones((pad,), t_loc.dtype)
+        t_loc = jnp.concatenate([t_loc, zeros])
+        t_scale = jnp.concatenate([t_scale, ones])
+        p_loc = jnp.concatenate([p_loc, zeros])
+        p_scale = jnp.concatenate([p_scale, ones])
+    shp = (plan.num_blocks, plan.block_size)
+    return (GaussianParams(t_loc.reshape(shp), t_scale.reshape(shp)),
+            GaussianParams(p_loc.reshape(shp), p_scale.reshape(shp)))
+
+
+def split_coder(coder: GaussianParams, plan: BlockSplit, perm: jnp.ndarray
+                ) -> GaussianParams:
+    """Decode-side split of the coding distribution alone."""
+    p_loc = jnp.ravel(coder.loc)[perm]
+    p_scale = jnp.ravel(coder.scale)[perm]
+    pad = plan.padded - plan.num_dims
+    if pad:
+        p_loc = jnp.concatenate([p_loc, jnp.zeros((pad,), p_loc.dtype)])
+        p_scale = jnp.concatenate([p_scale, jnp.ones((pad,), p_scale.dtype)])
+    shp = (plan.num_blocks, plan.block_size)
+    return GaussianParams(p_loc.reshape(shp), p_scale.reshape(shp))
+
+
+def merge(block_samples: jnp.ndarray, shape, plan: BlockSplit,
+          perm: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of split: drop padding, un-permute, reshape (ref coder.py:87-122)."""
+    flat = block_samples.reshape(-1)[: plan.num_dims]
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(plan.num_dims))
+    return flat[inv].reshape(shape)
+
+
+def block_kl(target: GaussianParams, coder: GaussianParams) -> jnp.ndarray:
+    """Per-block total KL in nats; blocks on the leading axis."""
+    return jnp.sum(kl_divergence(target, coder), axis=-1)

@@ -1,0 +1,81 @@
+"""Counter-based RNG discipline for the codec.
+
+The entire codec is a deterministic-replay protocol: encoder and decoder share
+only ``(seed, indices)`` and must regenerate bit-identical proposal streams.
+The reference achieves this with global-seed statefulness
+(``tf.random.set_seed`` + per-partition seed increments, ref coder.py:531) and
+an ad-hoc index-history hash for beam streams (ref beam_search_coder.py:33-51).
+
+Here the contract is explicit and purely functional: every stream is addressed
+by a (root key, structured counter) pair via ``jax.random.fold_in`` on threefry
+keys, so encode on N chips and decode on 1 chip agree bit-for-bit regardless of
+sharding.  Stream address layout:
+
+    root(seed)
+      -> fold_in(SPLIT_TAG)                  : the block split permutation
+      -> fold_in(BLOCK_TAG) -> fold_in(b)    : per latent-block subtree
+           -> fold_in(t)                     : per KL-partition step
+                -> fold_in(history_hash)     : per beam candidate stream
+
+Beam candidate streams must depend only on the beam's *index history* (so the
+decoder can replay the winning beam's stream knowing only the transmitted
+indices); the history is folded into a uint32 FNV-1a hash updated one index at
+a time, replacing the reference's "slightly biased" mod-10007 hash with a
+proper mixing function while keeping the same (index-prefix -> stream)
+dependence (ref beam_search_coder.py:32-51).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Stream-purpose tags (arbitrary distinct constants).
+SPLIT_TAG = 0x51137  # split permutation
+BLOCK_TAG = 0xb10c  # latent-block subtree
+MODEL_TAG = 0x30de1  # model-side sampling (training-time posterior samples)
+
+FNV_OFFSET = jnp.uint32(2166136261)
+FNV_PRIME = jnp.uint32(16777619)
+
+
+def root_key(seed) -> jax.Array:
+    """Root threefry key from an integer seed (the seed stored in the header)."""
+    return jax.random.PRNGKey(seed)
+
+
+def split_key(root: jax.Array) -> jax.Array:
+    return jax.random.fold_in(root, SPLIT_TAG)
+
+
+def block_key(root: jax.Array, block_id) -> jax.Array:
+    return jax.random.fold_in(jax.random.fold_in(root, BLOCK_TAG), block_id)
+
+
+def step_key(bkey: jax.Array, step) -> jax.Array:
+    return jax.random.fold_in(bkey, step)
+
+
+def beam_stream_key(skey: jax.Array, history_hash) -> jax.Array:
+    return jax.random.fold_in(skey, history_hash.astype(jnp.uint32))
+
+
+def fnv_init() -> jnp.ndarray:
+    return FNV_OFFSET
+
+
+def fnv_step(h: jnp.ndarray, index) -> jnp.ndarray:
+    """One FNV-1a step folding a chosen candidate index into a history hash."""
+    return (h ^ jnp.uint32(index)) * FNV_PRIME
+
+
+def normal_stream(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """The canonical proposal stream: iid standard normals of a *static* shape.
+
+    Encoder and decoder must call this with identical (key, shape, dtype) to
+    obtain identical bits; never draw a prefix with a different shape (unlike
+    the reference's ``index + 1``-sample decode, ref
+    importance_sampling.py:276, which relies on stateful-RNG prefix
+    stability that counter-based generators do not provide).
+    """
+    return jax.random.normal(key, shape, dtype=dtype)

@@ -1,0 +1,9 @@
+"""Bitstream IO: native arithmetic coding + .rec container
+(ref rec/io/__init__.py)."""
+
+from .arithmetic import ArithmeticCoder
+from .container import (default_index_counts, default_nav_counts, read_rec,
+                        write_rec)
+
+__all__ = ["ArithmeticCoder", "read_rec", "write_rec",
+           "default_index_counts", "default_nav_counts"]

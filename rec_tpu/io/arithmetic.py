@@ -1,0 +1,218 @@
+"""Python binding for the native C++ arithmetic coder (cpp/arithmetic.cc).
+
+Loads (building on first use if needed) ``librec_ac.so`` via ctypes.  A pure
+Python implementation of the identical algorithm serves as a fallback and as
+the differential-test reference (cf. ref rec/io/tests/coding_test.py and the
+fast-vs-naive testing style of ref rec/coding/tests/test_rejection_sampling.py).
+
+API mirrors the reference ArithmeticCoder (ref entropy_coding.pyx:19): a count
+histogram defines the model; EOF is symbol 0; ``encode`` returns packed bits.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_CPP_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "cpp")
+
+
+@lru_cache(maxsize=1)
+def _load_native() -> Optional[ctypes.CDLL]:
+    so = os.path.abspath(os.path.join(_CPP_DIR, "librec_ac.so"))
+    src = os.path.abspath(os.path.join(_CPP_DIR, "arithmetic.cc"))
+    if not os.path.exists(so) or (
+            os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                 src, "-o", so],
+                check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rec_ac_encode.restype = ctypes.c_int
+    lib.rec_ac_encode.argtypes = [i64p, ctypes.c_int, ctypes.c_int, i32p,
+                                  ctypes.c_int64, u8p, ctypes.c_int64, i64p]
+    lib.rec_ac_decode.restype = ctypes.c_int
+    lib.rec_ac_decode.argtypes = [i64p, ctypes.c_int, ctypes.c_int, u8p,
+                                  ctypes.c_int64, i32p, ctypes.c_int64, i64p]
+    lib.rec_ac_encode_bound_bits.restype = ctypes.c_int64
+    lib.rec_ac_encode_bound_bits.argtypes = [ctypes.c_int64, ctypes.c_int]
+    return lib
+
+
+def _as_i64(counts) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(counts), dtype=np.int64)
+
+
+def _as_i32(msg) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(msg), dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementation (identical algorithm)
+# ---------------------------------------------------------------------------
+
+def _py_encode(counts: np.ndarray, message: np.ndarray,
+               precision: int) -> Tuple[bytes, int]:
+    cdf = np.concatenate([[0], np.cumsum(counts)]).astype(object)
+    R = int(cdf[-1])
+    whole, half, quarter = 1 << precision, 1 << (precision - 1), 1 << (precision - 2)
+    low, high, s = 0, whole, 0
+    bits: List[int] = []
+
+    def emit(b, run):
+        bits.append(b)
+        bits.extend([1 - b] * run)
+
+    for sym in message:
+        sym = int(sym)
+        width = high - low
+        high = low + (width * int(cdf[sym + 1])) // R
+        low = low + (width * int(cdf[sym])) // R
+        while True:
+            if high < half:
+                emit(0, s); s = 0
+                low, high = low * 2, high * 2
+            elif low > half:
+                emit(1, s); s = 0
+                low, high = (low - half) * 2, (high - half) * 2
+            else:
+                break
+        while low > quarter and high < 3 * quarter:
+            s += 1
+            low, high = (low - quarter) * 2, (high - quarter) * 2
+    s += 1
+    emit(0 if low <= quarter else 1, s)
+    return _pack_bits(bits), len(bits)
+
+
+def _py_decode(counts: np.ndarray, data: bytes, nbits: int,
+               precision: int) -> np.ndarray:
+    cdf = np.concatenate([[0], np.cumsum(counts)]).astype(object)
+    R = int(cdf[-1])
+    n_symbols = len(counts)
+    whole, half, quarter = 1 << precision, 1 << (precision - 1), 1 << (precision - 2)
+
+    def get(i):
+        if i >= nbits:
+            return 0
+        return (data[i >> 3] >> (7 - (i & 7))) & 1
+
+    low, high, z = 0, whole, 0
+    i = 0
+    for _ in range(precision):
+        z = (z << 1) | get(i); i += 1
+
+    out = []
+    while True:
+        width = high - low
+        zoff = z - low
+        lo, hi = 0, n_symbols - 1
+        while lo < hi:
+            mid = (lo + hi + 1) >> 1
+            if (width * int(cdf[mid])) // R <= zoff:
+                lo = mid
+            else:
+                hi = mid - 1
+        j = lo
+        low_ = low + (width * int(cdf[j])) // R
+        high_ = low + (width * int(cdf[j + 1])) // R
+        assert low_ <= z < high_, "corrupt arithmetic-coded stream"
+        out.append(j)
+        low, high = low_, high_
+        if j == 0:
+            return np.asarray(out, np.int32)
+        while True:
+            if high < half:
+                low, high = low * 2, high * 2
+                z = (z << 1) | get(i); i += 1
+            elif low > half:
+                low, high = (low - half) * 2, (high - half) * 2
+                z = ((z - half) << 1) | get(i); i += 1
+            else:
+                break
+        while low > quarter and high < 3 * quarter:
+            low, high = (low - quarter) * 2, (high - quarter) * 2
+            z = ((z - quarter) << 1) | get(i); i += 1
+
+
+def _pack_bits(bits: Sequence[int]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i >> 3] |= 0x80 >> (i & 7)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+class ArithmeticCoder:
+    """Arithmetic coder over a count histogram; EOF = symbol 0.
+
+    ``encode`` -> (packed bytes, bit length); ``decode`` -> int32 message
+    (including the trailing EOF symbol).
+    """
+
+    def __init__(self, counts, precision: int = 32, force_python: bool = False):
+        self.counts = _as_i64(counts)
+        if np.any(self.counts < 0) or self.counts.sum() <= 0:
+            raise ValueError("counts must be non-negative with positive total")
+        self.precision = precision
+        self._lib = None if force_python else _load_native()
+
+    @property
+    def native(self) -> bool:
+        return self._lib is not None
+
+    def encode(self, message) -> Tuple[bytes, int]:
+        msg = _as_i32(message)
+        if self._lib is None:
+            return _py_encode(self.counts, msg, self.precision)
+        lib = self._lib
+        bound_bits = lib.rec_ac_encode_bound_bits(len(msg), self.precision)
+        out = np.zeros((int(bound_bits) + 7) // 8, np.uint8)
+        out_bits = ctypes.c_int64(0)
+        rc = lib.rec_ac_encode(
+            self.counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(self.counts), self.precision,
+            msg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(msg),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
+            ctypes.byref(out_bits))
+        if rc != 0:
+            raise ValueError(f"arithmetic encode failed (rc={rc})")
+        nbits = int(out_bits.value)
+        return bytes(out[: (nbits + 7) // 8]), nbits
+
+    def decode(self, data: bytes, nbits: int,
+               max_symbols: Optional[int] = None) -> np.ndarray:
+        if self._lib is None:
+            return _py_decode(self.counts, data, nbits, self.precision)
+        lib = self._lib
+        cap = max_symbols if max_symbols is not None else max(4 * nbits + 64, 1024)
+        buf = np.frombuffer(data, np.uint8).copy()
+        out = np.zeros(cap, np.int32)
+        out_len = ctypes.c_int64(0)
+        rc = lib.rec_ac_decode(
+            self.counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(self.counts), self.precision,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbits,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            ctypes.byref(out_len))
+        if rc != 0:
+            raise ValueError(f"arithmetic decode failed (rc={rc})")
+        return out[: int(out_len.value)].copy()

@@ -1,0 +1,163 @@
+""".rec container format: index streams -> bytes on disk and back.
+
+Field-compatible with the reference container (ref rec/io/utils.py:7-215):
+packed static header ``struct 'IIIIIHHHH'`` = (seed, block_size, max_index,
+H, W, C, nav-counts-file flag, index-counts-file flag, num_latents), then
+per-latent arrays (num_blocks, nav codelengths, index codelengths, nav maxes),
+then arithmetic-coded streams of (a) partitions-per-block and (b) flattened
+indices, each with a +1 symbol shift and EOF symbol 0.
+
+Differences from the reference, by design:
+  * streams are byte-packed end to end — no '1' guard bit / bigint string
+    round trip (ref rec/io/utils.py:58-68); codes start on byte boundaries
+    and decode stops at EOF, so trailing pad bits are harmless;
+  * the index payload of our codec is a dense (num_blocks, max_partitions)
+    int32 array + per-block counts (the vmap-friendly layout), converted to
+    the ragged stream form here at the host boundary.
+
+Default priors match the reference: uniform counts with a +1000 boost over
+EOF for indices (ref utils.py:31-35) and +100 for partition counts.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .arithmetic import ArithmeticCoder
+
+_STATIC_HEADER = "IIIIIHHHH"
+STATIC_HEADER_SIZE = struct.calcsize(_STATIC_HEADER)  # 28 bytes
+
+
+def default_index_counts(max_index: int) -> np.ndarray:
+    counts = np.ones(max_index + 1, dtype=np.int64)
+    counts[1:] += 1000
+    return counts
+
+
+def default_nav_counts(nav_max: int) -> np.ndarray:
+    counts = np.ones(nav_max + 2, dtype=np.int64)
+    counts[1:] += 100
+    return counts
+
+
+def _encode_stream(coder: ArithmeticCoder, symbols: np.ndarray) -> bytes:
+    message = np.concatenate([np.asarray(symbols, np.int64) + 1, [0]])
+    data, _ = coder.encode(message.astype(np.int32))
+    return data
+
+
+def _decode_stream(coder: ArithmeticCoder, data: bytes) -> np.ndarray:
+    message = coder.decode(data, len(data) * 8)
+    return message[:-1] - 1  # strip EOF, undo +1 shift
+
+
+def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
+              block_size: int, max_index: int,
+              latents: Sequence[Tuple[np.ndarray, np.ndarray]],
+              index_counts: Optional[np.ndarray] = None,
+              nav_counts: Optional[Sequence[np.ndarray]] = None) -> int:
+    """Serialize per-latent coded indices to a .rec file.
+
+    ``latents``: one (indices (num_blocks, max_partitions), counts
+    (num_blocks,)) pair per stochastic layer, as produced by
+    ``coder.encode``.  Returns total bytes written.
+    """
+    if len(image_shape) != 3:
+        raise ValueError(f"image_shape must be rank 3, got {image_shape!r}")
+    num_latents = len(latents)
+
+    nav_messages, index_messages, num_blocks, nav_maxes = [], [], [], []
+    for indices, counts in latents:
+        indices = np.asarray(indices)
+        counts = np.asarray(counts)
+        num_blocks.append(len(counts))
+        nav_maxes.append(int(counts.max()) if len(counts) else 0)
+        nav_messages.append(counts.astype(np.int64))
+        index_messages.append(np.concatenate(
+            [indices[b, : counts[b]] for b in range(len(counts))]
+            or [np.zeros(0, np.int64)]).astype(np.int64))
+
+    use_custom_index = index_counts is not None
+    use_custom_nav = nav_counts is not None
+    index_counts = (np.asarray(index_counts, np.int64) if use_custom_index
+                    else default_index_counts(max_index))
+    nav_counts_list = (list(nav_counts) if use_custom_nav
+                       else [default_nav_counts(m) for m in nav_maxes])
+
+    index_coder = ArithmeticCoder(index_counts)
+    nav_codes = [_encode_stream(ArithmeticCoder(nc), nav + 0)
+                 for nc, nav in zip(nav_counts_list, nav_messages)]
+    index_codes = [_encode_stream(index_coder, idx) for idx in index_messages]
+
+    header = struct.pack(
+        _STATIC_HEADER, seed, block_size, max_index,
+        image_shape[0], image_shape[1], image_shape[2],
+        int(use_custom_nav), int(use_custom_index), num_latents)
+    dyn = struct.pack(
+        f"{num_latents}I{num_latents}I{num_latents}I{num_latents}I",
+        *num_blocks,
+        *[len(c) for c in nav_codes],
+        *[len(c) for c in index_codes],
+        *nav_maxes)
+
+    with open(file_path, "wb") as f:
+        f.write(header)
+        f.write(dyn)
+        for code in nav_codes:
+            f.write(code)
+        for code in index_codes:
+            f.write(code)
+        return f.tell()
+
+
+def read_rec(file_path: str, *,
+             index_counts: Optional[np.ndarray] = None,
+             nav_counts: Optional[Sequence[np.ndarray]] = None,
+             max_partitions: Optional[int] = None):
+    """Parse a .rec file -> (seed, image_shape, block_size, latents) where
+    latents is a list of (indices (num_blocks, P) int32, counts (num_blocks,)
+    int32) pairs, P = max_partitions (default: max observed count)."""
+    with open(file_path, "rb") as f:
+        (seed, block_size, max_index, h, w, c, use_custom_nav,
+         use_custom_index, num_latents) = struct.unpack(
+            _STATIC_HEADER, f.read(STATIC_HEADER_SIZE))
+        dyn_fmt = f"{num_latents}I{num_latents}I{num_latents}I{num_latents}I"
+        dyn = struct.unpack(dyn_fmt, f.read(struct.calcsize(dyn_fmt)))
+        num_blocks = dyn[:num_latents]
+        nav_lens = dyn[num_latents: 2 * num_latents]
+        index_lens = dyn[2 * num_latents: 3 * num_latents]
+        nav_maxes = dyn[3 * num_latents:]
+
+        nav_codes = [f.read(n) for n in nav_lens]
+        index_codes = [f.read(n) for n in index_lens]
+
+    if use_custom_index and index_counts is None:
+        raise ValueError("file uses custom index counts; pass index_counts")
+    if use_custom_nav and nav_counts is None:
+        raise ValueError("file uses custom nav counts; pass nav_counts")
+    index_counts = (np.asarray(index_counts, np.int64)
+                    if use_custom_index else default_index_counts(max_index))
+    nav_counts_list = (list(nav_counts) if use_custom_nav
+                       else [default_nav_counts(m) for m in nav_maxes])
+
+    index_coder = ArithmeticCoder(index_counts)
+    latents: List[Tuple[np.ndarray, np.ndarray]] = []
+    for li in range(num_latents):
+        counts = _decode_stream(ArithmeticCoder(nav_counts_list[li]),
+                                nav_codes[li]).astype(np.int32)
+        flat = _decode_stream(index_coder, index_codes[li]).astype(np.int32)
+        assert len(counts) == num_blocks[li], "corrupt .rec: block count"
+        P = max_partitions or (int(counts.max()) if len(counts) else 1)
+        indices = np.zeros((len(counts), P), np.int32)
+        off = 0
+        for b, n in enumerate(counts):
+            indices[b, :n] = flat[off: off + n]
+            off += n
+        assert off == len(flat), "corrupt .rec: index stream length"
+        latents.append((indices, counts))
+
+    return seed, (h, w, c), block_size, latents

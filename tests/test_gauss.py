@@ -1,0 +1,106 @@
+"""Property tests for the auxiliary-variable Gaussian decomposition.
+
+The marginalization identity is the correctness core: sampling A ~ q(A) then
+Z | A ~ q(Z | A) must reproduce Z ~ q exactly (and likewise for p).  The
+reference has no such test; its formulas (coder.py:141-171) are verified here
+both analytically (closed-form marginals) and by Monte Carlo.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rec_tpu.coding.gauss import (GaussianParams, auxiliary_coder,
+                                  auxiliary_target, conditional_coder,
+                                  conditional_target, kl_divergence,
+                                  log_density_ratio)
+
+
+def _dists(seed=0, d=16):
+    k = np.random.RandomState(seed)
+    target = GaussianParams(jnp.asarray(k.randn(d), jnp.float32),
+                            jnp.asarray(0.2 + k.rand(d), jnp.float32))
+    coder = GaussianParams(jnp.asarray(k.randn(d), jnp.float32),
+                           jnp.asarray(0.5 + k.rand(d), jnp.float32))
+    return target, coder
+
+
+def test_kl_matches_closed_form():
+    target, coder = _dists()
+    kl = kl_divergence(target, coder)
+    # Independent closed form
+    expected = (np.log(np.asarray(coder.scale) / np.asarray(target.scale))
+                + (np.asarray(target.scale) ** 2
+                   + (np.asarray(target.loc) - np.asarray(coder.loc)) ** 2)
+                / (2 * np.asarray(coder.scale) ** 2) - 0.5)
+    np.testing.assert_allclose(kl, expected, rtol=1e-5)
+    assert bool(jnp.all(kl >= 0))
+
+
+def test_aux_marginalization_identity_analytic():
+    """E[Z] and Var[Z] of the two-stage sampling match the target exactly."""
+    target, coder = _dists(1)
+    for ratio in (0.1, 0.5, 0.9):
+        aux_var = ratio * coder.var
+        q_a = auxiliary_target(target, coder, aux_var)
+        # Z | A=a ~ N(m(a), v) with m(a) linear in a:
+        #   m(a) = p_loc + (a tq pv + (tl - pl) resid pv) / denom
+        t_var, p_var = target.var, coder.var
+        resid = p_var - aux_var
+        denom = t_var * aux_var + p_var * resid
+        slope = t_var * p_var / denom
+        cond0 = conditional_target(target, coder, aux_var,
+                                   jnp.zeros_like(target.loc))
+        mean_z = cond0.loc + slope * q_a.loc
+        var_z = cond0.var + jnp.square(slope) * q_a.var
+        np.testing.assert_allclose(mean_z, target.loc, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(var_z, target.var, rtol=1e-4, atol=1e-5)
+
+
+def test_coder_marginalization_identity():
+    target, coder = _dists(2)
+    aux_var = 0.37 * coder.var
+    p_a = auxiliary_coder(coder, aux_var)
+    cond = conditional_coder(coder, aux_var, jnp.zeros_like(coder.loc))
+    np.testing.assert_allclose(cond.var + p_a.var, coder.var, rtol=1e-5)
+    np.testing.assert_allclose(cond.loc, coder.loc, rtol=1e-5)
+
+
+def test_full_ratio_collapses():
+    """ratio -> 1 makes the aux step the whole problem: aux target is the
+    coder-centred target and the conditional coder is a point mass."""
+    target, coder = _dists(3)
+    aux_var = coder.var
+    q_a = auxiliary_target(target, coder, aux_var)
+    np.testing.assert_allclose(q_a.loc, target.loc - coder.loc, rtol=1e-5)
+    np.testing.assert_allclose(q_a.scale, target.scale, rtol=1e-4)
+    cond = conditional_coder(coder, aux_var, jnp.zeros_like(coder.loc))
+    np.testing.assert_allclose(cond.scale, 0.0, atol=1e-6)
+
+
+def test_aux_kl_chain_sums_to_total():
+    """KL[q(A)||p(A)] + E_q(A) KL[q(Z|A)||p(Z|A)] == KL[q||p] (chain rule).
+    Monte Carlo over A."""
+    target, coder = _dists(4, d=4)
+    aux_var = 0.4 * coder.var
+    q_a = auxiliary_target(target, coder, aux_var)
+    p_a = auxiliary_coder(coder, aux_var)
+    kl_a = kl_divergence(q_a, p_a)
+
+    key = jax.random.PRNGKey(0)
+    a = q_a.sample(key, (200_000,))
+    cond_t = jax.vmap(lambda s: conditional_target(target, coder, aux_var, s))(a)
+    cond_c = jax.vmap(lambda s: conditional_coder(coder, aux_var, s))(a)
+    kl_cond = jnp.mean(kl_divergence(cond_t, cond_c), axis=0)
+
+    total = kl_divergence(target, coder)
+    np.testing.assert_allclose(kl_a + kl_cond, total, rtol=2e-2, atol=2e-3)
+
+
+def test_log_density_ratio_quadratic_form():
+    target, coder = _dists(5)
+    x = jnp.asarray(np.random.RandomState(9).randn(16), jnp.float32)
+    got = log_density_ratio(x, target, coder)
+    want = target.log_prob(x) - coder.log_prob(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,110 @@
+"""Arithmetic coder + .rec container tests.
+
+Round-trip + codelength-vs-entropy (ref rec/io/tests/coding_test.py), plus a
+native-vs-pure-Python differential test in the style of ref
+test_rejection_sampling.py's fast-vs-naive check.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rec_tpu.io import ArithmeticCoder, read_rec, write_rec
+from rec_tpu.io.arithmetic import _load_native
+
+
+def _random_message(rs, num_symbols, length):
+    msg = np.zeros(length, np.int32)
+    msg[:-1] = rs.randint(1, num_symbols, size=length - 1)
+    return msg
+
+
+class TestArithmeticCoder:
+    def test_native_available(self):
+        assert _load_native() is not None, "C++ arithmetic coder failed to build"
+
+    def test_roundtrip(self):
+        rs = np.random.RandomState(0)
+        counts = np.ones(65, np.int64)
+        counts[1:] += rs.randint(1, 100, size=64)
+        ac = ArithmeticCoder(counts)
+        msg = _random_message(rs, 65, 2000)
+        data, nbits = ac.encode(msg)
+        decoded = ac.decode(data, nbits)
+        np.testing.assert_array_equal(decoded, msg)
+
+    def test_codelength_near_entropy(self):
+        rs = np.random.RandomState(1)
+        counts = np.ones(33, np.int64)
+        counts[1:] += rs.randint(1, 50, size=32)
+        ac = ArithmeticCoder(counts)
+        msg = _random_message(rs, 33, 5000)
+        _, nbits = ac.encode(msg)
+        p = counts / counts.sum()
+        entropy_bits = -np.sum(np.log2(p[msg]))
+        assert nbits < entropy_bits * 1.02 + 64
+
+    def test_native_matches_python(self):
+        """Differential: C++ vs pure-Python implementations bit-identical."""
+        rs = np.random.RandomState(2)
+        counts = np.ones(17, np.int64)
+        counts[1:] += rs.randint(1, 30, size=16)
+        msg = _random_message(rs, 17, 300)
+        nat = ArithmeticCoder(counts)
+        pyc = ArithmeticCoder(counts, force_python=True)
+        if not nat.native:
+            pytest.skip("native lib unavailable")
+        d1, n1 = nat.encode(msg)
+        d2, n2 = pyc.encode(msg)
+        assert n1 == n2 and d1 == d2
+        np.testing.assert_array_equal(pyc.decode(d1, n1), nat.decode(d2, n2))
+
+    def test_skewed_and_tiny(self):
+        counts = np.array([1, 1000000, 1], np.int64)
+        ac = ArithmeticCoder(counts)
+        msg = np.array([1] * 500 + [2, 1, 0], np.int32)
+        data, nbits = ac.encode(msg)
+        np.testing.assert_array_equal(ac.decode(data, nbits), msg)
+        assert nbits < 10 * 8 + 64  # highly compressible
+
+    def test_single_symbol_message(self):
+        ac = ArithmeticCoder([5, 5, 5])
+        data, nbits = ac.encode(np.array([0], np.int32))
+        np.testing.assert_array_equal(ac.decode(data, nbits), [0])
+
+
+class TestRecContainer:
+    def test_roundtrip(self, tmp_path):
+        rs = np.random.RandomState(3)
+        latents = []
+        for nb in (4, 7):
+            counts = rs.randint(1, 6, size=nb).astype(np.int32)
+            indices = np.zeros((nb, 8), np.int32)
+            for b in range(nb):
+                indices[b, : counts[b]] = rs.randint(0, 20, size=counts[b])
+            latents.append((indices, counts))
+
+        path = os.path.join(tmp_path, "test.rec")
+        nbytes = write_rec(path, seed=1234, image_shape=(32, 32, 3),
+                           block_size=16, max_index=20, latents=latents)
+        assert nbytes == os.path.getsize(path)
+
+        seed, shape, block_size, out = read_rec(path, max_partitions=8)
+        assert seed == 1234 and shape == (32, 32, 3) and block_size == 16
+        assert len(out) == len(latents)
+        for (ind, cnt), (ind2, cnt2) in zip(latents, out):
+            np.testing.assert_array_equal(cnt, cnt2)
+            np.testing.assert_array_equal(ind, ind2)
+
+    def test_compact(self, tmp_path):
+        """Container overhead should be small vs the ideal index cost."""
+        rs = np.random.RandomState(4)
+        nb, P, max_index = 30, 6, 36
+        counts = np.full(nb, P, np.int32)
+        indices = rs.randint(0, max_index, size=(nb, P)).astype(np.int32)
+        path = os.path.join(tmp_path, "c.rec")
+        nbytes = write_rec(path, seed=0, image_shape=(8, 8, 3), block_size=32,
+                           max_index=max_index, latents=[(indices, counts)])
+        ideal_bits = nb * P * np.log2(max_index)
+        assert nbytes * 8 < ideal_bits * 1.15 + 500
