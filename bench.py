@@ -1,0 +1,67 @@
+"""Benchmark: flagship RVAE-24 single-image REC encode throughput on one chip.
+
+Paper eval settings (BASELINE.md): beam search B=20, extra_samples=1.2,
+Omega=3, block_size=1000, num_res_blocks=24, CIFAR-sized 32x32 input.  The
+whole compress (inference pass + 24-block generative pass with in-scan REC
+coding + decode-replay) is ONE jitted program; we report steady-state
+images/sec.
+
+vs_baseline: the reference pins compression to CPU and its encode-runtime
+heatmaps span 0-1000 s/image on 32x32 inputs at these settings
+(reference examples/lossless/data_aggregation.py:46-47,
+compression_performance.py:16); we use a conservative 100 s/image (0.01
+images/sec) as the reference throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 0.01  # conservative: 100 s/image on CPU
+
+
+def main():
+    from rec_tpu.coding import BeamSearchCoder
+    from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
+                                           ResNetVAEConfig)
+
+    cfg = ResNetVAEConfig(num_res_blocks=24, deterministic_filters=160,
+                          stochastic_filters=32)
+    coder = BeamSearchCoder(kl_per_partition=3.0, n_beams=20,
+                            extra_samples=1.2, block_size=1000,
+                            max_partitions=24)
+    model = BidirectionalResNetVAE(cfg=cfg, coder=coder)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3) - 0.5,
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+
+    compress = jax.jit(
+        lambda p, img, seed: model.apply(p, img, seed,
+                                         method=model.compress))
+    out = jax.block_until_ready(compress(params, x, 1234))  # compile
+
+    n = 10
+    t0 = time.time()
+    for i in range(n):
+        out = compress(params, x, 1234 + i)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n
+
+    value = 1.0 / dt
+    print(json.dumps({
+        "metric": "RVAE-24 single-image REC encode throughput (32x32, "
+                  "B=20, eps=0.2, Omega=3), 1 chip",
+        "value": round(value, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(value / REFERENCE_IMAGES_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

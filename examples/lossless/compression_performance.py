@@ -1,0 +1,263 @@
+"""Lossless compression evaluation CLI
+(parity: ref examples/lossless/compression_performance.py).
+
+Modes:
+  * ``mode=compress``   — per test image: ideal-ELBO metrics, REC compress,
+    .rec write + read-back with an index round-trip assertion, decode,
+    per-image CSV row (bits/dim, ideal bpp, PSNR, comp time, ...).
+  * ``mode=initialize`` — fit the coder's auxiliary-variance ratios on test
+    images and persist them (ref :151-210).
+
+Unlike the reference (which pins TF to CPU, ref :16), compression runs on
+the TPU; only arithmetic coding is host-side.
+"""
+
+import dataclasses
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rec_tpu.coding import BeamSearchCoder, GaussianCoder
+from rec_tpu.data.datasets import (DatasetConfig, iterate_batches,
+                                   load_images, normalize, pad_to_multiple,
+                                   write_png)
+from rec_tpu.io import read_rec, write_rec
+from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
+                                       ResNetVAEConfig)
+from rec_tpu.train import CheckpointManager, init_state, make_optimizer, staircase_schedule
+from rec_tpu.utils.config import apply_overrides, print_config
+from rec_tpu.utils.logging import setup_logger
+from rec_tpu.utils.metrics import psnr
+from rec_tpu.utils.summary import SummaryWriter
+
+LOG2 = float(np.log(2.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    mode: str = "compress"           # compress | initialize
+    dataset: DatasetConfig = dataclasses.field(
+        default_factory=lambda: DatasetConfig(dataset="cifar10",
+                                              split="test"))
+    model_cfg: ResNetVAEConfig = dataclasses.field(
+        default_factory=ResNetVAEConfig)
+    sampler: str = "beam_search"     # beam_search | importance
+    n_beams: int = 20
+    extra_samples: float = 1.2
+    kl_per_partition: float = 3.0
+    coding_bits: int = 12
+    block_size: int = 1000
+    max_partitions: int = 24
+    num_images: int = 10
+    seed: int = 42
+    use_ema: bool = True
+    model_save_dir: str = "checkpoints/lossless"
+    output_dir: str = "results/lossless"
+    save_reconstructions: bool = False
+
+
+def build_coder(cfg: Config):
+    if cfg.sampler == "beam_search":
+        return BeamSearchCoder(kl_per_partition=cfg.kl_per_partition,
+                               n_beams=cfg.n_beams,
+                               extra_samples=cfg.extra_samples,
+                               block_size=cfg.block_size,
+                               max_partitions=cfg.max_partitions)
+    if cfg.sampler == "importance":
+        return GaussianCoder(kl_per_partition=cfg.kl_per_partition,
+                             coding_bits=cfg.coding_bits,
+                             block_size=cfg.block_size,
+                             max_partitions=cfg.max_partitions)
+    raise ValueError(cfg.sampler)
+
+
+def load_params(cfg: Config, model, example):
+    """Restore trained params (EMA swapped in, ref :199,268), or
+    fresh-initialize when no checkpoint exists."""
+    import optax
+
+    params = model.init(jax.random.PRNGKey(cfg.seed), example,
+                        jax.random.PRNGKey(cfg.seed + 1))
+    tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
+    state = init_state(params, tx, beta=1.0)
+    ckpt = CheckpointManager(cfg.model_save_dir)
+    restored = ckpt.restore(state)
+    if restored is None:
+        return params, False
+    return (restored.ema_params if cfg.use_ema else restored.params), True
+
+
+def initialize_coder_ratios(cfg: Config, log):
+    """mode=initialize: fit aux-variance ratios over test images and persist
+    them (ref :151-210).  The fitted table is saved as
+    ``<model_save_dir>/coder_ratios_<Omega>.npy`` and picked up by
+    mode=compress."""
+    from rec_tpu.coding.partition import (plan_split, split_pair,
+                                          split_permutation)
+    from rec_tpu.coding import rng as crng
+    from rec_tpu.coding.gauss import GaussianParams
+    from rec_tpu.coding.ratio_fit import RatioFitConfig, RatioFitter
+
+    model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=None)
+    images, synthetic = load_images(cfg.dataset)
+    images = normalize(images, "centered")[: cfg.num_images]
+    example = jnp.asarray(pad_to_multiple(images[:1], 64))
+    params, restored = load_params(cfg, model, example)
+
+    forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
+    fitter = RatioFitter(RatioFitConfig(kl_per_partition=cfg.kl_per_partition),
+                         max_partitions=cfg.max_partitions)
+    key = jax.random.PRNGKey(cfg.seed)
+    for i, img in enumerate(images):
+        x = jnp.asarray(pad_to_multiple(img[None], 64))
+        out = forward(params, x, jax.random.fold_in(key, i))
+        log.info(f"init image {i}: "
+                 f"total kl={float(jnp.sum(out['analytic_kl'])):.0f}")
+        # Fit on the actual per-res-block posterior/prior pairs, split into
+        # the same equal-size latent blocks the coder uses.
+        post, prior = out["posterior"], out["prior"]
+        for n in range(cfg.model_cfg.num_res_blocks):
+            p_n = GaussianParams(post.loc[n], post.scale[n])
+            c_n = GaussianParams(prior.loc[n], prior.scale[n])
+            plan = plan_split(int(p_n.loc.size), cfg.block_size)
+            perm = split_permutation(crng.root_key(cfg.seed + i), plan)
+            t_blocks, c_blocks = split_pair(p_n, c_n, plan, perm)
+            fitter.update(t_blocks, c_blocks,
+                          jax.random.fold_in(key, 1000 + i * 64 + n))
+    path = os.path.join(cfg.model_save_dir,
+                        f"coder_ratios_{cfg.kl_per_partition}.npy")
+    os.makedirs(cfg.model_save_dir, exist_ok=True)
+    np.save(path, np.asarray(fitter.fitted()))
+    log.info(f"saved fitted ratios to {path}")
+
+
+def main(argv):
+    cfg = apply_overrides(Config(), argv)
+    print_config(cfg)
+    log = setup_logger("compression_performance")
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    if cfg.mode == "initialize":
+        initialize_coder_ratios(cfg, log)
+        return
+
+    coder = build_coder(cfg)
+    ratio_path = os.path.join(cfg.model_save_dir,
+                              f"coder_ratios_{cfg.kl_per_partition}.npy")
+    if os.path.exists(ratio_path):
+        coder = dataclasses.replace(
+            coder, aux_variance_ratios=tuple(np.load(ratio_path).tolist()))
+        log.info(f"using fitted aux ratios from {ratio_path}")
+    model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=coder)
+
+    images, synthetic = load_images(cfg.dataset)
+    if synthetic:
+        log.warning("using SYNTHETIC data (no local dataset found)")
+    images = normalize(images, "centered")[: cfg.num_images]
+
+    example = jnp.asarray(pad_to_multiple(images[:1], 64))
+    params, restored = load_params(cfg, model, example)
+    log.info(f"params restored from checkpoint: {restored}")
+
+    forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
+    compress = jax.jit(
+        lambda p, x, s: model.apply(p, x, s, method=model.compress))
+    decompress = jax.jit(
+        lambda p, shape, ind, cnt, s: model.apply(
+            p, shape, ind, cnt, s, method=model.decompress),
+        static_argnums=1)
+
+    csv_path = os.path.join(cfg.output_dir, f"{cfg.dataset.dataset}.csv")
+    fields = ["index", "width", "height", "seed", "total_kl",
+              "ideal_elbo_bpd", "latent_code_bits", "file_bits",
+              "total_bits_per_dim", "residual_bits", "psnr", "comp_time",
+              "decomp_time", "roundtrip_ok"]
+    rows = []
+    for i, img in enumerate(images):
+        x = jnp.asarray(pad_to_multiple(img[None], 64))
+        h, w = x.shape[1:3]
+        num_dims = float(np.prod(x.shape[1:]))
+        seed = cfg.seed + i
+
+        # Ideal pass: ELBO metrics (ref :321-342).
+        out = forward(params, x, jax.random.PRNGKey(seed))
+        ideal_elbo_bpd = float(
+            (-jnp.mean(out["log_likelihood"])
+             + jnp.sum(jnp.mean(out["analytic_kl"], axis=1)))
+            / (num_dims * LOG2))
+
+        t0 = time.time()
+        comp = jax.block_until_ready(compress(params, x, seed))
+        comp_time = time.time() - t0
+
+        rec_path = os.path.join(cfg.output_dir, f"img_{i}.rec")
+        latents = [(np.asarray(comp["indices"][b]),
+                    np.asarray(comp["counts"][b]))
+                   for b in range(cfg.model_cfg.num_res_blocks)]
+        max_index = (coder.n_samples if cfg.sampler == "beam_search"
+                     else 1 << cfg.coding_bits)
+        nbytes = write_rec(rec_path, seed=seed, image_shape=(h, w, 3),
+                           block_size=cfg.block_size, max_index=max_index,
+                           latents=latents)
+
+        # Read back + index round-trip assertion (ref :369-373).
+        rseed, _, _, latents2 = read_rec(rec_path,
+                                         max_partitions=cfg.max_partitions)
+        ok = all(np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+                 for a, b in zip(latents, latents2))
+        assert ok, "index round trip failed"
+
+        ind = jnp.stack([jnp.asarray(a) for a, _ in latents2])
+        cnt = jnp.stack([jnp.asarray(c) for _, c in latents2])
+        t0 = time.time()
+        recon = jax.block_until_ready(
+            decompress(params, (h, w), ind, cnt, rseed))
+        decomp_time = time.time() - t0
+
+        # Residual bits: -log2 likelihood of the true image under the
+        # decoder's reconstruction (implicit residual cost, SURVEY.md §0).
+        from rec_tpu.models.likelihoods import discretized_logistic
+
+        scale = jnp.exp(params["params"]["likelihood_log_scale"])
+        residual_bits = float(-discretized_logistic(
+            x, recon - 0.5, scale)[0] / LOG2)
+        from rec_tpu.coding import CodedLatent
+
+        latent_bits = float(coder.codelength_nats(
+            CodedLatent(ind, cnt, None)) / LOG2)
+        total_bpd = (latent_bits + residual_bits) / num_dims
+        p = float(psnr(x + 0.5, recon)[0])
+
+        rows.append(dict(index=i, width=w, height=h, seed=seed,
+                         total_kl=float(jnp.sum(comp["kl"])),
+                         ideal_elbo_bpd=ideal_elbo_bpd,
+                         latent_code_bits=latent_bits,
+                         file_bits=nbytes * 8,
+                         total_bits_per_dim=total_bpd,
+                         residual_bits=residual_bits,
+                         psnr=p, comp_time=comp_time,
+                         decomp_time=decomp_time, roundtrip_ok=ok))
+        log.info(f"image {i}: kl={rows[-1]['total_kl']:.0f} "
+                 f"bpd={total_bpd:.3f} ideal={ideal_elbo_bpd:.3f} "
+                 f"comp={comp_time:.2f}s ok={ok}")
+        if cfg.save_reconstructions:
+            write_png(os.path.join(cfg.output_dir, f"recon_{i}.png"),
+                      np.asarray(recon[0]))
+
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=fields)
+        writer.writeheader()
+        writer.writerows(rows)
+    log.info(f"wrote {csv_path}; mean bpd="
+             f"{np.mean([r['total_bits_per_dim'] for r in rows]):.3f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

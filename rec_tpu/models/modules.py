@@ -102,9 +102,15 @@ class ReparameterizedConv2D(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         # Data-dependent init: closures capture the normalized-kernel output.
+        # The log-scale is clamped to +-4.6 (kernel gain within [1e-2, 1e2]):
+        # a layer whose init input is degenerate (e.g. the all-zero h_top
+        # generative base) has out-variance ~0 and would otherwise get a
+        # ~1e4x amplifier that detonates training at the first nonzero input.
         def log_scale_init(_):
             var = jnp.var(out, axis=(0, 1, 2))
-            return jnp.log(self.init_scale * jax.lax.rsqrt(var + 1e-10))
+            return jnp.clip(
+                jnp.log(self.init_scale * jax.lax.rsqrt(var + 1e-10)),
+                -4.6, 4.6)
 
         log_scale = self.param("log_scale", log_scale_init)
         out = out * jnp.exp(log_scale)
@@ -141,7 +147,9 @@ class ReparameterizedConv2DTranspose(nn.Module):
 
         def log_scale_init(_):
             var = jnp.var(out, axis=(0, 1, 2))
-            return jnp.log(self.init_scale * jax.lax.rsqrt(var + 1e-10))
+            return jnp.clip(
+                jnp.log(self.init_scale * jax.lax.rsqrt(var + 1e-10)),
+                -4.6, 4.6)
 
         log_scale = self.param("log_scale", log_scale_init)
         out = out * jnp.exp(log_scale)

@@ -164,6 +164,8 @@ class GenBlock(nn.Module):
                 jnp.sum(kl_divergence(post, prior), axis=(1, 2, 3))
                 if cfg.distribution == "gaussian" and not cfg.use_iaf
                 else outs["empirical_kld"])
+            outs["posterior"] = post
+            outs["prior"] = prior
 
         elif mode == "encode":
             # Batch size 1: squeeze the batch axis for the coder (the
@@ -222,8 +224,12 @@ class BidirectionalResNetVAE(nn.Module):
                                  **scan_kwargs)(cfg=cfg, coder=self.coder,
                                                 name="gen_stack")
         # "h_top": empirical-Bayes top prior (ref resnet_vae.py:621-633).
+        # Deviation from the reference's zeros init: a small random base
+        # gives the generative-side convs non-degenerate statistics for
+        # their data-dependent init (an all-zero base makes every gen conv
+        # see exactly-zero input on the init pass).
         self.generative_base = self.param(
-            "generative_base", nn.initializers.zeros,
+            "generative_base", nn.initializers.normal(0.1),
             (cfg.deterministic_filters,))
         self.likelihood_log_scale = self.param(
             "likelihood_log_scale", nn.initializers.zeros, ())
@@ -271,6 +277,10 @@ class BidirectionalResNetVAE(nn.Module):
             "kld_channelwise": gen_outs["kld_channelwise"],   # (N, C)
             "empirical_kld": gen_outs["empirical_kld"],       # (N, B)
             "analytic_kl": gen_outs["analytic_kl"],           # (N, B)
+            # Stacked per-block distributions (N, B, H', W', C) — consumed
+            # by coder initialization (ref resnet_vae.py:795-801).
+            "posterior": gen_outs["posterior"],
+            "prior": gen_outs["prior"],
         }
 
     def compress(self, image, seed):

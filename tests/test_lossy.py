@@ -1,0 +1,74 @@
+"""Lossy model tests: training forward, REC compress/decompress consistency,
+and .rec container round trips for the 1-, 2-, and 4-level VAEs."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rec_tpu.coding import BeamSearchCoder
+from rec_tpu.models.lossy import (Large1LevelVAE, Large2LevelVAE,
+                                  Large4LevelVAE, compress_to_file,
+                                  decompress_from_file)
+
+CODER = BeamSearchCoder(kl_per_partition=3.0, n_beams=4, extra_samples=1.2,
+                        block_size=256, max_partitions=8)
+
+
+def _image(h=64, w=64):
+    return jnp.asarray(np.random.RandomState(0).rand(1, h, w, 3), jnp.float32)
+
+
+def _check_model(model, x, n_levels, tmp_path=None):
+    params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    out = model.apply(params, x, jax.random.PRNGKey(2))
+    assert out["reconstruction"].shape == x.shape
+    assert len(out["kls"]) == n_levels
+    assert all(bool(jnp.isfinite(k)) for k in out["kls"])
+
+    comp = model.apply(params, x, 77, method=model.rec_forward)
+    assert len(comp["latents"]) == n_levels
+    recon = model.apply(params, x.shape[1:3], comp["latents"], 77,
+                        method=model.rec_decode)
+    np.testing.assert_allclose(np.asarray(recon),
+                               np.asarray(comp["reconstruction"]),
+                               rtol=1e-4, atol=1e-5)
+    return params, comp
+
+
+class TestLarge1LevelVAE:
+    def test_end_to_end(self, tmp_path):
+        model = Large1LevelVAE(num_filters=16, coder=CODER)
+        x = _image(32, 32)
+        params, comp = _check_model(model, x, 1)
+        path = os.path.join(tmp_path, "l1.rec")
+        recon = compress_to_file(model, params, path, x[0], seed=5,
+                                 block_size=256, max_index=CODER.n_samples)
+        recon2 = decompress_from_file(model, params, path, max_partitions=8)
+        np.testing.assert_allclose(np.asarray(recon2), np.asarray(recon),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestLarge2LevelVAE:
+    def test_end_to_end(self, tmp_path):
+        model = Large2LevelVAE(level_1_filters=12, level_2_filters=8,
+                               coder=CODER)
+        x = _image(64, 64)
+        params, comp = _check_model(model, x, 2)
+        path = os.path.join(tmp_path, "l2.rec")
+        recon = compress_to_file(model, params, path, x[0], seed=9,
+                                 block_size=256, max_index=CODER.n_samples)
+        recon2 = decompress_from_file(model, params, path, max_partitions=8)
+        np.testing.assert_allclose(np.asarray(recon2), np.asarray(recon),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestLarge4LevelVAE:
+    def test_end_to_end(self):
+        model = Large4LevelVAE(level_1_filters=8, level_2_filters=8,
+                               level_3_filters=8, level_4_filters=8,
+                               coder=CODER)
+        x = _image(64, 64)
+        _check_model(model, x, 4)
