@@ -57,6 +57,8 @@ class Config:
     max_partitions: int = 24
     num_images: int = 10
     seed: int = 42
+    true_lossless: bool = True   # also code the residual stream (beyond the
+                                 # reference, which only counts those bits)
     use_ema: bool = True
     model_save_dir: str = "checkpoints/lossless"
     output_dir: str = "results/lossless"
@@ -203,13 +205,28 @@ def main(argv):
                    for b in range(cfg.model_cfg.num_res_blocks)]
         max_index = (coder.n_samples if cfg.sampler == "beam_search"
                      else 1 << cfg.coding_bits)
+
+        residual = None
+        scale = float(jnp.exp(params["params"]["likelihood_log_scale"]))
+        if cfg.true_lossless:
+            # Score the residual against the decode replay's reconstruction
+            # (encoder embeds decoder), then the file alone is lossless.
+            from rec_tpu.io.residual import encode_residual
+
+            dec_recon = decompress(
+                params, (h, w),
+                jnp.stack([jnp.asarray(a) for a, _ in latents]),
+                jnp.stack([jnp.asarray(c) for _, c in latents]), seed)
+            residual, _ = encode_residual(np.asarray(x[0]) + 0.5,
+                                          np.asarray(dec_recon[0]), scale)
+
         nbytes = write_rec(rec_path, seed=seed, image_shape=(h, w, 3),
                            block_size=cfg.block_size, max_index=max_index,
-                           latents=latents)
+                           latents=latents, residual=residual)
 
         # Read back + index round-trip assertion (ref :369-373).
-        rseed, _, _, latents2 = read_rec(rec_path,
-                                         max_partitions=cfg.max_partitions)
+        rseed, _, _, latents2, residual2 = read_rec(
+            rec_path, max_partitions=cfg.max_partitions, with_residual=True)
         ok = all(np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
                  for a, b in zip(latents, latents2))
         assert ok, "index round trip failed"
@@ -221,13 +238,21 @@ def main(argv):
             decompress(params, (h, w), ind, cnt, rseed))
         decomp_time = time.time() - t0
 
-        # Residual bits: -log2 likelihood of the true image under the
-        # decoder's reconstruction (implicit residual cost, SURVEY.md §0).
-        from rec_tpu.models.likelihoods import discretized_logistic
+        # Residual bits: actual coded bits when true_lossless, else the
+        # reference's implicit -log2 likelihood count (SURVEY.md §0).
+        if residual is not None:
+            from rec_tpu.io.residual import decode_residual, quantize
 
-        scale = jnp.exp(params["params"]["likelihood_log_scale"])
-        residual_bits = float(-discretized_logistic(
-            x, recon - 0.5, scale)[0] / LOG2)
+            out01 = decode_residual(residual2, np.asarray(recon[0]), scale)
+            assert np.array_equal(quantize(out01),
+                                  quantize(np.asarray(x[0]) + 0.5)), \
+                "lossless pixel recovery failed"
+            residual_bits = len(residual2) * 8.0
+        else:
+            from rec_tpu.models.likelihoods import discretized_logistic
+
+            residual_bits = float(-discretized_logistic(
+                x, recon - 0.5, scale)[0] / LOG2)
         from rec_tpu.coding import CodedLatent
 
         latent_bits = float(coder.codelength_nats(

@@ -59,7 +59,8 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
               block_size: int, max_index: int,
               latents: Sequence[Tuple[np.ndarray, np.ndarray]],
               index_counts: Optional[np.ndarray] = None,
-              nav_counts: Optional[Sequence[np.ndarray]] = None) -> int:
+              nav_counts: Optional[Sequence[np.ndarray]] = None,
+              residual: Optional[bytes] = None) -> int:
     """Serialize per-latent coded indices to a .rec file.
 
     ``latents``: one (indices (num_blocks, max_partitions), counts
@@ -111,16 +112,24 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
             f.write(code)
         for code in index_codes:
             f.write(code)
+        if residual is not None:
+            # Optional trailing section (true-lossless residual stream,
+            # rec_tpu/io/residual.py): 'R' + u32 length + bytes.  Readers of
+            # the base format simply never reach it.
+            f.write(b"R" + struct.pack("I", len(residual)) + residual)
         return f.tell()
 
 
 def read_rec(file_path: str, *,
              index_counts: Optional[np.ndarray] = None,
              nav_counts: Optional[Sequence[np.ndarray]] = None,
-             max_partitions: Optional[int] = None):
+             max_partitions: Optional[int] = None,
+             with_residual: bool = False):
     """Parse a .rec file -> (seed, image_shape, block_size, latents) where
     latents is a list of (indices (num_blocks, P) int32, counts (num_blocks,)
-    int32) pairs, P = max_partitions (default: max observed count)."""
+    int32) pairs, P = max_partitions (default: max observed count).  With
+    ``with_residual=True`` a 5th element holds the trailing residual stream
+    (bytes or None)."""
     with open(file_path, "rb") as f:
         (seed, block_size, max_index, h, w, c, use_custom_nav,
          use_custom_index, num_latents) = struct.unpack(
@@ -134,6 +143,11 @@ def read_rec(file_path: str, *,
 
         nav_codes = [f.read(n) for n in nav_lens]
         index_codes = [f.read(n) for n in index_lens]
+        residual = None
+        tag = f.read(1)
+        if tag == b"R":
+            (rlen,) = struct.unpack("I", f.read(4))
+            residual = f.read(rlen)
 
     if use_custom_index and index_counts is None:
         raise ValueError("file uses custom index counts; pass index_counts")
@@ -160,4 +174,6 @@ def read_rec(file_path: str, *,
         assert off == len(flat), "corrupt .rec: index stream length"
         latents.append((indices, counts))
 
+    if with_residual:
+        return seed, (h, w, c), block_size, latents, residual
     return seed, (h, w, c), block_size, latents

@@ -1,0 +1,254 @@
+"""Large ResNet VAE — lossless model for big images (Kodak/CLIC scale).
+
+Parity target: ref rec/models/large_resnet_vae_new.py (the variant the eval
+script uses).  Two stochastic bidirectional blocks with aggressive
+downsampling:
+
+    x --[4x (5,5)/s2 conv (+GDN/elu)]--> /16 --[res block 1: 128 stoch]-->
+      --[(3,3)/s1 + 2x (5,5)/s2]--> /64 --[res block 2: 32 stoch, top]-->
+
+Generative pass mirrors upward from an h_top base at /64.  Reuses the
+scanned-RVAE block modules standalone (InferBlock/GenBlock single calls) and
+the same REC coding integration; ``compress``/``decompress`` are complete
+(ref large_resnet_vae_new.py:557-648).
+
+Likelihoods include the large-model extensions: amplified gaussian/laplace,
+optional blurred laplace, ms-ssim with unit power factors, and the 0.84
+ms-ssim + laplace combination (ref :409-433).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..coding.gauss import GaussianParams, kl_divergence
+from ..utils.logging import gaussian_blur
+from ..utils.metrics import ms_ssim
+from .modules import (GDN, ReparameterizedConv2D,
+                      ReparameterizedConv2DTranspose, SignalConv2D)
+from .resnet_vae import GenBlock, InferBlock, ResNetVAEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class LargeResNetVAEConfig:
+    first_deterministic_filters: int = 160
+    second_deterministic_filters: int = 160
+    first_stochastic_filters: int = 128
+    second_stochastic_filters: int = 32
+    kernel_size: Tuple[int, int] = (3, 3)
+    use_gdn: bool = True
+    use_sig_convs: bool = True
+    likelihood: str = "discretized_logistic"
+    # discretized_logistic | gaussian | laplace | ms-ssim | ms-ssim-laplace
+
+
+class _DownStack(nn.Module):
+    """n stages of (5,5)/s2 conv + GDN-or-elu (ref first/second infer
+    blocks)."""
+
+    filters: int
+    stages: int
+    use_gdn: bool
+    use_sig: bool
+    lead_3x3: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.lead_3x3:
+            conv = (SignalConv2D(features=self.filters, kernel=(3, 3),
+                                 corr=True, strides_down=1, name="conv_pre")
+                    if self.use_sig else
+                    ReparameterizedConv2D(features=self.filters,
+                                          kernel_size=(3, 3), name="conv_pre"))
+            x = jax.nn.elu(conv(x))
+        for i in range(self.stages):
+            conv = (SignalConv2D(features=self.filters, kernel=(5, 5),
+                                 corr=True, strides_down=2, name=f"conv_{i}")
+                    if self.use_sig else
+                    ReparameterizedConv2D(features=self.filters,
+                                          kernel_size=(5, 5), strides=(2, 2),
+                                          name=f"conv_{i}"))
+            x = conv(x)
+            x = (GDN(inverse=False, name=f"gdn_{i}")(x)
+                 if self.use_gdn else jax.nn.elu(x))
+        return x
+
+
+class _UpStack(nn.Module):
+    filters: int
+    stages: int
+    out_filters: int
+    use_gdn: bool
+    use_sig: bool
+    tail_3x3: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.stages):
+            last = (i == self.stages - 1) and not self.tail_3x3
+            feats = self.out_filters if last else self.filters
+            conv = (SignalConv2D(features=feats, kernel=(5, 5), corr=False,
+                                 strides_up=2, name=f"conv_{i}")
+                    if self.use_sig else
+                    ReparameterizedConv2DTranspose(
+                        features=feats, kernel_size=(5, 5), strides=(2, 2),
+                        name=f"conv_{i}"))
+            x = conv(x)
+            if not last:
+                x = (GDN(inverse=True, name=f"igdn_{i}")(x)
+                     if self.use_gdn else jax.nn.elu(x))
+        if self.tail_3x3:
+            conv = (SignalConv2D(features=self.out_filters, kernel=(3, 3),
+                                 corr=False, strides_up=1, name="conv_tail")
+                    if self.use_sig else
+                    ReparameterizedConv2DTranspose(
+                        features=self.out_filters, kernel_size=(3, 3),
+                        strides=(1, 1), name="conv_tail"))
+            x = conv(x)
+        return x
+
+
+class LargeResNetVAE(nn.Module):
+    cfg: LargeResNetVAEConfig = LargeResNetVAEConfig()
+    coder: Any = None
+
+    def setup(self):
+        c = self.cfg
+        block_cfg_1 = ResNetVAEConfig(
+            num_res_blocks=1,
+            deterministic_filters=c.first_deterministic_filters,
+            stochastic_filters=c.first_stochastic_filters,
+            kernel_size=c.kernel_size)
+        block_cfg_2 = ResNetVAEConfig(
+            num_res_blocks=1,
+            deterministic_filters=c.second_deterministic_filters,
+            stochastic_filters=c.second_stochastic_filters,
+            kernel_size=c.kernel_size)
+        self.first_infer = _DownStack(c.first_deterministic_filters, 4,
+                                      c.use_gdn, c.use_sig_convs,
+                                      name="first_infer_block")
+        self.first_gen = _UpStack(c.first_deterministic_filters, 4, 3,
+                                  c.use_gdn, c.use_sig_convs,
+                                  name="first_gen_block")
+        self.second_infer = _DownStack(c.second_deterministic_filters, 2,
+                                       False, c.use_sig_convs, lead_3x3=True,
+                                       name="second_infer_block")
+        self.second_gen = _UpStack(c.second_deterministic_filters, 2,
+                                   c.first_deterministic_filters, False,
+                                   c.use_sig_convs, tail_3x3=True,
+                                   name="second_gen_block")
+        self.infer_block_1 = InferBlock(cfg=block_cfg_1, name="infer_block_1")
+        self.infer_block_2 = InferBlock(cfg=block_cfg_2, name="infer_block_2")
+        self.gen_block_1 = GenBlock(cfg=block_cfg_1, coder=self.coder,
+                                    name="gen_block_1")
+        self.gen_block_2 = GenBlock(cfg=block_cfg_2, coder=self.coder,
+                                    name="gen_block_2")
+        self.generative_base = self.param(
+            "generative_base", nn.initializers.normal(0.1),
+            (c.second_deterministic_filters,))
+        self.likelihood_log_scale = self.param(
+            "likelihood_log_scale", nn.initializers.zeros, ())
+
+    # -- likelihood (large-model family, ref :396-433) --------------------
+
+    def _log_likelihood(self, reference, reconstruction):
+        c = self.cfg
+        scale = jnp.exp(self.likelihood_log_scale)
+        num_dims = float(reference.shape[1] * reference.shape[2]
+                         * reference.shape[3])
+
+        def laplace(blur=False):
+            lp = jnp.abs(reconstruction - reference) / scale
+            if blur:
+                lp = gaussian_blur(lp, kernel_size=11, sigma=8.0)
+            return -jnp.sum(lp, axis=(1, 2, 3)) * 255.0
+
+        def msssim_ll():
+            v = ms_ssim(reference + 0.5, reconstruction + 0.5, max_val=1.0,
+                        weights=(1.0, 1.0, 1.0, 1.0, 1.0))
+            return (v - 1.0) * num_dims * 255.0
+
+        if c.likelihood == "discretized_logistic":
+            from .likelihoods import discretized_logistic
+
+            recon = jnp.clip(reconstruction, -0.5 + 1 / 512., 0.5 - 1 / 512.)
+            return discretized_logistic(reference, recon, scale)
+        if c.likelihood == "gaussian":
+            return -jnp.sum(jnp.square(reference - reconstruction) / scale,
+                            axis=(1, 2, 3)) * 255.0 ** 2
+        if c.likelihood == "laplace":
+            return laplace()
+        if c.likelihood == "ms-ssim":
+            return msssim_ll()
+        if c.likelihood == "ms-ssim-laplace":
+            alpha = 0.84
+            return alpha * msssim_ll() + (1 - alpha) * laplace(blur=True)
+        raise ValueError(c.likelihood)
+
+    # -- passes -----------------------------------------------------------
+
+    def _base(self, batch, height, width):
+        return jnp.broadcast_to(
+            self.generative_base,
+            (batch, height // 64, width // 64,
+             self.cfg.second_deterministic_filters))
+
+    def _infer(self, images):
+        t = self.first_infer(images)
+        t, stats1 = self.infer_block_1(t, None)
+        t = self.second_infer(t)
+        _, stats2 = self.infer_block_2(t, None)
+        return stats1, stats2
+
+    def _generate(self, base, mode, xs1, xs2):
+        t, out2 = self.gen_block_2(base, mode, xs2)
+        t = self.second_gen(t)
+        t, out1 = self.gen_block_1(t, mode, xs1)
+        t = self.first_gen(t)
+        recon = jnp.clip(t, -0.5 + 1.0 / 512.0, 0.5 - 1.0 / 512.0)
+        return recon, out1, out2
+
+    def __call__(self, images, key):
+        B, H, W, _ = images.shape
+        stats1, stats2 = self._infer(images)
+        k1, k2 = jax.random.split(key)
+        recon, out1, out2 = self._generate(
+            self._base(B, H, W), "train",
+            dict(stats1, key=k1), dict(stats2, key=k2))
+        log_lik = self._log_likelihood(images, recon)
+        return {
+            "reconstruction": recon + 0.5,
+            "log_likelihood": log_lik,
+            "kld_channelwise": (out1["kld_channelwise"],
+                                out2["kld_channelwise"]),
+            "analytic_kl": (out1["analytic_kl"], out2["analytic_kl"]),
+            "empirical_kld": (out1["empirical_kld"], out2["empirical_kld"]),
+        }
+
+    def compress(self, image, seed):
+        B, H, W, _ = image.shape
+        stats1, stats2 = self._infer(image)
+        recon, out1, out2 = self._generate(
+            self._base(B, H, W), "encode",
+            dict(stats1, seed=seed), dict(stats2, seed=seed + 7919))
+        return {
+            "reconstruction": recon + 0.5,
+            # Top-down transmission order: block 2 (top) then block 1.
+            "latents": [(out2["indices"], out2["counts"]),
+                        (out1["indices"], out1["counts"])],
+            "kl": jnp.stack([out2["kl"], out1["kl"]]),
+        }
+
+    def decompress(self, shape, latents, seed):
+        H, W = shape
+        (ind2, cnt2), (ind1, cnt1) = latents
+        recon, _, _ = self._generate(
+            self._base(1, H, W), "decode",
+            {"indices": ind1, "counts": cnt1, "seed": seed},
+            {"indices": ind2, "counts": cnt2, "seed": seed + 7919})
+        return recon + 0.5

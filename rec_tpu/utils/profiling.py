@@ -1,0 +1,60 @@
+"""Tracing / profiling utilities (SURVEY.md §5.1 — the reference has only
+wall-clock timers; this build adds jax.profiler traces + phase timers)."""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+
+
+class PhaseTimer:
+    """Accumulating per-phase wall-clock timer with block_until_ready
+    semantics (device work is flushed at phase exit)."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def report(self) -> Dict[str, Dict[str, float]]:
+        return {k: {"total_s": self.totals[k], "count": self.counts[k],
+                    "mean_ms": 1000.0 * self.totals[k] / self.counts[k]}
+                for k in self.totals}
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.report(), f, indent=2)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """XLA device trace via jax.profiler; view with TensorBoard or xprof."""
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named region visible in device traces."""
+    with jax.profiler.TraceAnnotation(name):
+        yield

@@ -1,0 +1,86 @@
+"""True-lossless end-to-end: image -> .rec (latent indices + residual
+stream) -> exact 8-bit pixel recovery from the file alone.
+
+This is the automated compress->file->decompress->bit-identical test the
+reference lacks (SURVEY.md §4 implications)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rec_tpu.coding import BeamSearchCoder
+from rec_tpu.io import read_rec, write_rec
+from rec_tpu.io.residual import (decode_residual, encode_residual,
+                                 quantize, residual_histogram)
+from rec_tpu.models.resnet_vae import BidirectionalResNetVAE, ResNetVAEConfig
+
+
+class TestResidualCoding:
+    def test_histogram_is_valid(self):
+        h = residual_histogram(0.05)
+        assert h.shape == (257,) and h.min() >= 1
+
+    def test_roundtrip_exact(self):
+        rs = np.random.RandomState(0)
+        x = rs.randint(0, 256, size=(16, 16, 3)).astype(np.float32) / 255.0
+        recon = np.clip(x + 0.05 * rs.randn(16, 16, 3), 1e-3, 1 - 1e-3)
+        data, n = encode_residual(x, recon, scale=0.05)
+        dec = decode_residual(data, recon, scale=0.05)
+        np.testing.assert_array_equal(quantize(dec), quantize(x))
+
+    def test_good_recon_compresses_well(self):
+        """Residual bits shrink with reconstruction quality."""
+        rs = np.random.RandomState(1)
+        x = rs.rand(32, 32, 3).astype(np.float32)
+        good = np.clip(x + 0.002 * rs.randn(32, 32, 3), 0, 1 - 1e-6)
+        bad = rs.rand(32, 32, 3).astype(np.float32)
+        d_good, _ = encode_residual(x, good, scale=0.01)
+        d_bad, _ = encode_residual(x, bad, scale=0.01)
+        assert len(d_good) < len(d_bad) * 0.7
+
+
+class TestLosslessPipeline:
+    def test_file_alone_recovers_pixels(self, tmp_path):
+        cfg = ResNetVAEConfig(num_res_blocks=2, deterministic_filters=16,
+                              stochastic_filters=4)
+        coder = BeamSearchCoder(kl_per_partition=3.0, n_beams=4,
+                                extra_samples=1.2, block_size=128,
+                                max_partitions=12)
+        model = BidirectionalResNetVAE(cfg=cfg, coder=coder)
+        rs = np.random.RandomState(2)
+        u8 = rs.randint(0, 256, size=(16, 16, 3))
+        x01 = u8.astype(np.float32) / 255.0
+        x = jnp.asarray(x01[None] - 0.5, jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+
+        # --- encoder ---
+        comp = model.apply(params, x, 99, method=model.compress)
+        # Encoder embeds decoder: score the residual against the decode
+        # replay's reconstruction.
+        dec_recon = model.apply(params, (16, 16), comp["indices"],
+                                comp["counts"], 99, method=model.decompress)
+        scale = float(jnp.exp(params["params"]["likelihood_log_scale"]))
+        residual, _ = encode_residual(x01, np.asarray(dec_recon[0]), scale)
+        latents = [(np.asarray(comp["indices"][i]),
+                    np.asarray(comp["counts"][i])) for i in range(2)]
+        path = os.path.join(tmp_path, "lossless.rec")
+        write_rec(path, seed=99, image_shape=(16, 16, 3), block_size=128,
+                  max_index=coder.n_samples, latents=latents,
+                  residual=residual)
+
+        # --- decoder: file only ---
+        seed, shape, _, latents2, residual2 = read_rec(
+            path, max_partitions=12, with_residual=True)
+        ind = jnp.stack([jnp.asarray(i) for i, _ in latents2])
+        cnt = jnp.stack([jnp.asarray(c) for _, c in latents2])
+        recon2 = model.apply(params, shape[:2], ind, cnt, seed,
+                             method=model.decompress)
+        out01 = decode_residual(residual2, np.asarray(recon2[0]), scale)
+
+        # Exact 8-bit recovery
+        np.testing.assert_array_equal(quantize(out01), quantize(x01))
+        np.testing.assert_array_equal(
+            np.floor(out01 * 256).astype(np.int32), u8)

@@ -72,3 +72,52 @@ def test_mesh_subsets(latent):
                                        make_mesh(8))
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i8))
     np.testing.assert_array_equal(np.asarray(s2), np.asarray(s8))
+
+
+class TestBatchCompress:
+    def test_batched_equals_single(self):
+        """vmapped multi-image compress must produce exactly the indices and
+        samples of per-image encodes (per-image seed contract)."""
+        from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
+                                               ResNetVAEConfig)
+        from rec_tpu.parallel.batch import (make_batch_compress,
+                                            make_batch_decompress,
+                                            shard_images)
+
+        cfg = ResNetVAEConfig(num_res_blocks=2, deterministic_filters=12,
+                              stochastic_filters=4)
+        coder = BeamSearchCoder(kl_per_partition=3.0, n_beams=4,
+                                extra_samples=1.2, block_size=128,
+                                max_partitions=10)
+        model = BidirectionalResNetVAE(cfg=cfg, coder=coder)
+        rs = np.random.RandomState(0)
+        images = jnp.asarray(rs.rand(8, 16, 16, 3) - 0.5, jnp.float32)
+        seeds = jnp.arange(100, 108)
+        params = model.init(jax.random.PRNGKey(0), images[:1],
+                            jax.random.PRNGKey(1))
+
+        mesh = make_mesh()
+        sharded_images, sharded_seeds = shard_images(images, seeds, mesh)
+        batch_compress = make_batch_compress(model)
+        out = batch_compress(params, sharded_images, sharded_seeds)
+
+        # Per-image reference encode: transmitted data (indices/counts) must
+        # be EXACTLY what a single-image encode produces; reconstructions may
+        # differ by ULPs between the vmapped and single programs (which is
+        # why residual coding pins the canonical single-image decode program,
+        # see rec_tpu/io/residual.py).
+        single = model.apply(params, images[3:4], 103, method=model.compress)
+        np.testing.assert_array_equal(np.asarray(out["indices"][3]),
+                                      np.asarray(single["indices"]))
+        np.testing.assert_array_equal(np.asarray(out["counts"][3]),
+                                      np.asarray(single["counts"]))
+        np.testing.assert_allclose(np.asarray(out["reconstruction"][3]),
+                                   np.asarray(single["reconstruction"]),
+                                   rtol=1e-4, atol=1e-5)
+
+        # Batched decode matches too
+        batch_decompress = make_batch_decompress(model, (16, 16))
+        recon = batch_decompress(params, out["indices"], out["counts"], seeds)
+        np.testing.assert_allclose(np.asarray(recon[:, 0]),
+                                   np.asarray(out["reconstruction"][:, 0]),
+                                   rtol=1e-4, atol=1e-5)
