@@ -182,7 +182,27 @@ def main(argv):
               "total_bits_per_dim", "residual_bits", "psnr", "comp_time",
               "decomp_time", "roundtrip_ok"]
     rows = []
+    crashes = 0
     for i, img in enumerate(images):
+        try:
+            rows.append(_compress_one(cfg, log, model, coder, params, i, img,
+                                      forward, compress, decompress))
+        except Exception as e:  # per-image catch-and-continue (ref :375-377)
+            crashes += 1
+            log.error(f"image {i} failed: {type(e).__name__}: {e}")
+
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=fields)
+        writer.writeheader()
+        writer.writerows(rows)
+    log.info(f"wrote {csv_path}; images={len(rows)} crashes={crashes}; "
+             f"mean bpd="
+             f"{np.mean([r['total_bits_per_dim'] for r in rows]):.3f}")
+
+
+def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
+                  decompress):
+    if True:
         x = jnp.asarray(pad_to_multiple(img[None], 64))
         h, w = x.shape[1:3]
         num_dims = float(np.prod(x.shape[1:]))
@@ -260,28 +280,22 @@ def main(argv):
         total_bpd = (latent_bits + residual_bits) / num_dims
         p = float(psnr(x + 0.5, recon)[0])
 
-        rows.append(dict(index=i, width=w, height=h, seed=seed,
-                         total_kl=float(jnp.sum(comp["kl"])),
-                         ideal_elbo_bpd=ideal_elbo_bpd,
-                         latent_code_bits=latent_bits,
-                         file_bits=nbytes * 8,
-                         total_bits_per_dim=total_bpd,
-                         residual_bits=residual_bits,
-                         psnr=p, comp_time=comp_time,
-                         decomp_time=decomp_time, roundtrip_ok=ok))
-        log.info(f"image {i}: kl={rows[-1]['total_kl']:.0f} "
+        row = dict(index=i, width=w, height=h, seed=seed,
+                   total_kl=float(jnp.sum(comp["kl"])),
+                   ideal_elbo_bpd=ideal_elbo_bpd,
+                   latent_code_bits=latent_bits,
+                   file_bits=nbytes * 8,
+                   total_bits_per_dim=total_bpd,
+                   residual_bits=residual_bits,
+                   psnr=p, comp_time=comp_time,
+                   decomp_time=decomp_time, roundtrip_ok=ok)
+        log.info(f"image {i}: kl={row['total_kl']:.0f} "
                  f"bpd={total_bpd:.3f} ideal={ideal_elbo_bpd:.3f} "
                  f"comp={comp_time:.2f}s ok={ok}")
         if cfg.save_reconstructions:
             write_png(os.path.join(cfg.output_dir, f"recon_{i}.png"),
                       np.asarray(recon[0]))
-
-    with open(csv_path, "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=fields)
-        writer.writeheader()
-        writer.writerows(rows)
-    log.info(f"wrote {csv_path}; mean bpd="
-             f"{np.mean([r['total_bits_per_dim'] for r in rows]):.3f}")
+        return row
 
 
 if __name__ == "__main__":

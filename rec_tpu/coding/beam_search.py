@@ -45,6 +45,11 @@ class BeamSearchConfig:
     n_beams: int = 20
     extra_samples: float = 1.2
     max_partitions: int = 24
+    # Dtype for candidate *scoring* (selection only).  bf16 halves the HBM
+    # traffic of the (B, S, D) candidate tensors — the encode bottleneck —
+    # while the transmitted indices stay valid for the f32 decode replay, so
+    # bit-exactness is unaffected (the reported sample IS the replay).
+    score_dtype: str = "bfloat16"
 
     @property
     def n_samples(self) -> int:
@@ -62,15 +67,23 @@ class BeamCodedBlock(NamedTuple):
     sample: jnp.ndarray   # (D,)
 
 
-def _beam_candidates(cfg: BeamSearchConfig, skey, hashes, aux_scale):
-    """(B, S, D) standard candidates scaled by the aux coder, one stream per
-    beam history hash."""
-    S, D = cfg.n_samples, aux_scale.shape[-1]
+def _candidate_keys(cfg: BeamSearchConfig, skey, hashes):
+    """(B, S) per-candidate stream keys (see rng.candidate_key)."""
+    S = cfg.n_samples
 
-    def one(h):
-        return rng.normal_stream(rng.beam_stream_key(skey, h), (S, D))
+    def per_beam(h):
+        bk = rng.beam_stream_key(skey, h)
+        return jax.vmap(lambda s: rng.candidate_key(bk, s))(jnp.arange(S))
 
-    return aux_scale * jax.vmap(one)(hashes)[...]
+    return jax.vmap(per_beam)(hashes)
+
+
+def _candidate_rows(keys, dim, dtype=jnp.float32):
+    """Standard-normal rows for a pytree of keys with arbitrary leading
+    shape; each key yields an independent (dim,) stream."""
+    flat = keys.reshape(-1, keys.shape[-1])
+    rows = jax.vmap(lambda k: jax.random.normal(k, (dim,), dtype=dtype))(flat)
+    return rows.reshape(keys.shape[:-1] + (dim,))
 
 
 def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
@@ -98,9 +111,23 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
         cum_coder = GaussianParams(jnp.zeros((D,), beams.dtype), cum_scale)
 
         skey = rng.step_key(block_key, t)
-        cands = _beam_candidates(cfg, skey, hashes, aux_scale)    # (B, S, D)
-        combined = beams[:, None, :] + cands                       # (B, S, D)
-        scores = jnp.sum(log_density_ratio(combined, aux_t, cum_coder), axis=-1)
+        cand_keys = _candidate_keys(cfg, skey, hashes)            # (B, S, 2)
+        # Scoring runs in reduced precision: the (B, S, D) candidates are
+        # generated directly in score_dtype and fused into the reduction
+        # (never materialized in f32 — this is the encode bandwidth
+        # bottleneck).  Selection-only: the winners are regenerated in f32
+        # below, so the carried beams stay exactly replay-consistent.
+        sdt = jnp.dtype(cfg.score_dtype)
+        # Generate in f32 and cast: the scored value must be the ROUNDING of
+        # the f32 sample the decoder will regenerate (a direct low-precision
+        # draw would be a different sample for the same key).  The cast fuses
+        # into the scoring reduction, so no f32 candidate tensor reaches HBM.
+        eps_lp = _candidate_rows(cand_keys, D).astype(sdt)        # (B, S, D)
+        combined_lp = (beams.astype(sdt)[:, None, :]
+                       + aux_scale.astype(sdt) * eps_lp)
+        scores = jnp.sum(
+            log_density_ratio(combined_lp.astype(jnp.float32),
+                              aux_t, cum_coder), axis=-1)
         # First partition: all beams share the empty history, so their
         # candidate sets are identical; restrict to beam 0 to get B distinct
         # starts (ref beam_search_coder.py:495-505 uses a single stream).
@@ -111,7 +138,10 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
         parent = flat // S
         cand = (flat % S).astype(jnp.int32)
 
-        new_beams = combined[parent, flat % S]
+        # Regenerate only the B winning rows in f32 (per-candidate keys).
+        winner_keys = cand_keys[parent, cand]                     # (B, 2)
+        winner_eps = _candidate_rows(winner_keys, D)              # (B, D)
+        new_beams = beams[parent] + aux_scale * winner_eps
         new_hashes = rng.fnv_step(hashes[parent], cand)
         new_beam_indices = beam_indices[parent].at[:, t].set(cand)
 
@@ -151,9 +181,12 @@ def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
         aux_scale = jnp.sqrt(aux_var)
 
         skey = rng.step_key(block_key, t)
-        eps = rng.normal_stream(rng.beam_stream_key(skey, h), (S, D))
         idx = indices[t]
-        new_sample = sample + aux_scale * eps[idx]
+        # Regenerate exactly one candidate row from its per-candidate key —
+        # O(D) instead of O(S*D) per partition.
+        key = rng.candidate_key(rng.beam_stream_key(skey, h), idx)
+        eps = jax.random.normal(key, (D,))
+        new_sample = sample + aux_scale * eps
         new_h = rng.fnv_step(h, idx)
 
         carry = tree_where(t < count,

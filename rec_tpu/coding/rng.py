@@ -60,6 +60,14 @@ def beam_stream_key(skey: jax.Array, history_hash) -> jax.Array:
     return jax.random.fold_in(skey, history_hash.astype(jnp.uint32))
 
 
+def candidate_key(beam_key: jax.Array, candidate_idx) -> jax.Array:
+    """Per-candidate stream key: each candidate row is its own (D,) stream,
+    so the encoder can score in low precision and regenerate ONLY the
+    winning rows in f32 (and the decoder regenerates exactly one row per
+    partition).  This is the beam codec's stream-layout contract."""
+    return jax.random.fold_in(beam_key, candidate_idx)
+
+
 def fnv_init() -> jnp.ndarray:
     return FNV_OFFSET
 

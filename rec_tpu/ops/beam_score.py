@@ -50,8 +50,11 @@ def _pallas_available() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n",))
-def _score_pallas(x2d, ab, c_sum, tile_n: int = 256):
-    """x2d: (N, D) candidates; ab: (D, 2) stacked [a, b]; -> (N,) scores."""
+def _score_pallas(x2d, ab, c_sum, tile_n: int = 512):
+    """x2d: (N, D) candidates (N padded to tile_n); ab: (D, 2) stacked
+    [a, b]; -> (N,) scores.  Scores come back 2-D (N, 128) with the value
+    broadcast along lanes, sidestepping Mosaic's 1-D output tiling
+    constraint; the wrapper reads lane 0."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -62,9 +65,11 @@ def _score_pallas(x2d, ab, c_sum, tile_n: int = 256):
         ab_tile = ab_ref[:]
         a = ab_tile[:, 0]
         b = ab_tile[:, 1]
-        # (tile_n, D) * (D,) quadratic, reduced over D on the VPU; the
-        # x*(a*x+b) form keeps it two FMAs per element.
-        out_ref[:] = jnp.sum((a[None, :] * x + b[None, :]) * x, axis=-1)
+        # (tile_n, D) quadratic reduced over D on the VPU; the x*(a*x+b)
+        # form keeps it two FMAs per element.
+        s = jnp.sum((a[None, :] * x + b[None, :]) * x, axis=-1,
+                    keepdims=True)
+        out_ref[:] = jnp.broadcast_to(s, (s.shape[0], 128))
 
     grid = (pl.cdiv(N, tile_n),)
     scores = pl.pallas_call(
@@ -76,11 +81,11 @@ def _score_pallas(x2d, ab, c_sum, tile_n: int = 256):
             pl.BlockSpec((D, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n,), lambda i: (i,),
+        out_specs=pl.BlockSpec((tile_n, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N,), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, 128), x2d.dtype),
     )(x2d, ab)
-    return scores + c_sum
+    return scores[:, 0] + c_sum
 
 
 def score_candidates(combined, aux_target: GaussianParams,
@@ -88,9 +93,15 @@ def score_candidates(combined, aux_target: GaussianParams,
     """(B, S, D) candidates -> (B, S) log density-ratio scores."""
     B, S, D = combined.shape
     a, b, c_sum = _quadratic_coeffs(aux_target, cum_coder)
-    if use_pallas and _pallas_available() and D % 128 == 0 \
-            and (B * S) % 8 == 0:
+    if use_pallas and _pallas_available() and D % 128 == 0:
+        tile_n = 512
+        n = B * S
+        n_pad = (-n) % tile_n
+        x2d = combined.reshape(n, D)
+        if n_pad:
+            x2d = jnp.concatenate(
+                [x2d, jnp.zeros((n_pad, D), x2d.dtype)])
         ab = jnp.stack([a, b], axis=-1)
-        flat = _score_pallas(combined.reshape(B * S, D), ab, c_sum)
-        return flat.reshape(B, S)
+        flat = _score_pallas(x2d, ab, c_sum, tile_n=tile_n)
+        return flat[:n].reshape(B, S)
     return _score_jnp(combined, a, b, c_sum)

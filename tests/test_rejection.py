@@ -116,3 +116,35 @@ class TestPseudoSampleGenerator:
             direct = jnp.sum(log_density_ratio(sample, t, p))
             np.testing.assert_allclose(float(ratios[i]), float(direct),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestRejectionCoder:
+    """GaussianCoder + RejectionSampler round trip (ref test_coder.py:23-40)."""
+
+    def test_roundtrip_bit_exact(self):
+        from rec_tpu.coding.rejection_coder import RejectionCoder
+
+        t = GaussianParams(jnp.asarray([2.0, -1.5, 0.3], jnp.float32),
+                           jnp.asarray([0.05, 0.1, 0.2], jnp.float32))
+        p = GaussianParams(jnp.zeros(3, jnp.float32),
+                           jnp.ones(3, jnp.float32))
+        rc = RejectionCoder(kl_per_partition=3.0,
+                            sampler_config=RejectionSamplerConfig(
+                                sample_buffer_size=1000, r_buffer_size=10000))
+        indices, sample = rc.encode_block(t, p, seed=42)
+        assert len(indices) >= 1
+        recon = rc.decode_block(p, indices, seed=42)
+        np.testing.assert_array_equal(np.asarray(sample), np.asarray(recon))
+
+    def test_codelength_after_update(self):
+        from rec_tpu.coding.rejection_coder import RejectionCoder
+
+        t = GaussianParams(jnp.asarray([2.0], jnp.float32),
+                           jnp.asarray([0.05], jnp.float32))
+        p = GaussianParams(jnp.zeros(1, jnp.float32),
+                           jnp.ones(1, jnp.float32))
+        rc = RejectionCoder(sampler_config=RejectionSamplerConfig(
+            sample_buffer_size=1000, r_buffer_size=5000))
+        rc.encode_block(t, p, seed=1, update_sampler=True)
+        indices, _ = rc.encode_block(t, p, seed=2)
+        assert rc.get_codelength(indices) > 0

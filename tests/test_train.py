@@ -1,0 +1,116 @@
+"""Training-stack tests: train step descends, EMA updates, checkpoint
+round trip, schedules, lossy train step, config overrides."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rec_tpu.models.resnet_vae import BidirectionalResNetVAE, ResNetVAEConfig
+from rec_tpu.train import (CheckpointManager, ema_update, init_state,
+                           make_optimizer, staircase_schedule)
+from rec_tpu.train.lossless import (LosslessTrainConfig, check_finite,
+                                    make_train_step)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ResNetVAEConfig(num_res_blocks=2, deterministic_filters=12,
+                          stochastic_filters=4)
+    model = BidirectionalResNetVAE(cfg=cfg, coder=None)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 3) - 0.5,
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    tx = make_optimizer("adamax", staircase_schedule(1e-3, 1000, 0.5))
+    state = init_state(params, tx, beta=1.0)
+    step = make_train_step(model, LosslessTrainConfig(lamb=0.1), tx,
+                           num_pixels=256)
+    return model, tx, state, step, x
+
+
+def _fresh(state):
+    # The jitted step donates its input state; tests sharing the fixture
+    # must work on copies.
+    return jax.tree_util.tree_map(jnp.copy, state)
+
+
+def test_loss_decreases(setup):
+    _, _, state, step, x = setup
+    state = _fresh(state)
+    losses = []
+    key = jax.random.PRNGKey(7)
+    for i in range(30):
+        state, m = step(state, x, jax.random.fold_in(key, i))
+        check_finite(m)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 30
+
+
+def test_staircase_schedule():
+    s = staircase_schedule(1e-3, 100, 0.5, num_drops=4)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(150)) == pytest.approx(5e-4)
+    assert float(s(450)) == pytest.approx(1e-3 * 0.5 ** 4)
+    assert float(s(10_000)) == pytest.approx(1e-3 * 0.5 ** 4)  # capped
+
+
+def test_ema_moves_toward_params():
+    ema = {"w": jnp.zeros(3)}
+    params = {"w": jnp.ones(3)}
+    out = ema_update(ema, params, decay=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1, rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    _, _, state, step, x = setup
+    state2, _ = step(_fresh(state), x, jax.random.PRNGKey(1))
+    mgr = CheckpointManager(os.path.join(tmp_path, "ckpt"))
+    mgr.save(jax.device_get(state2))
+    restored = mgr.restore(jax.device_get(state2))
+    assert restored is not None
+    assert int(restored.step) == int(state2.step)
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(state2.params)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_lossy_train_step():
+    from rec_tpu.models.lossy import Large1LevelVAE
+    from rec_tpu.train.lossy import LossyTrainConfig
+    from rec_tpu.train.lossy import make_train_step as make_lossy_step
+
+    model = Large1LevelVAE(num_filters=8)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    tx = make_optimizer("adam", staircase_schedule(1e-4, 10 ** 6, 1.0))
+    state = init_state(params, tx, beta=0.01)
+    step = make_lossy_step(model, LossyTrainConfig(beta=0.01), tx,
+                           num_pixels=1024)
+    for i in range(3):
+        state, m = step(state, x, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_config_overrides():
+    from rec_tpu.utils.config import apply_overrides
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class Inner:
+        a: int = 1
+
+    @dataclasses.dataclass(frozen=True)
+    class Outer:
+        inner: Inner = dataclasses.field(default_factory=Inner)
+        lr: float = 1e-3
+        name: str = "x"
+
+    cfg = apply_overrides(Outer(), ["lr=5e-4", "inner.a=7", "name=hello",
+                                    "with"])
+    assert cfg.lr == 5e-4 and cfg.inner.a == 7 and cfg.name == "hello"
+    with pytest.raises(KeyError):
+        apply_overrides(Outer(), ["bogus=1"])
