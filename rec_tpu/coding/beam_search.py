@@ -169,7 +169,6 @@ def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
     """Replay the winning beam's candidate streams (ref
     beam_search_coder.py:523-547)."""
     D = coder.loc.shape[-1]
-    S = cfg.n_samples
     count = jnp.minimum(count, cfg.max_partitions)
     p_var = coder.var
 

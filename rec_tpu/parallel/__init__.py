@@ -9,8 +9,11 @@ right distribution strategy on TPU is pure data parallelism over ICI/DCN:
     collectives; index streams gather to host for serialization.
 """
 
+from .batch import (make_batch_compress, make_batch_decompress,
+                    shard_images)
+from .codec import sharded_decode_blocks, sharded_encode_blocks
 from .mesh import data_axis_sharding, make_mesh, replicated_sharding
-from .codec import sharded_encode_blocks, sharded_decode_blocks
 
 __all__ = ["make_mesh", "data_axis_sharding", "replicated_sharding",
-           "sharded_encode_blocks", "sharded_decode_blocks"]
+           "sharded_encode_blocks", "sharded_decode_blocks",
+           "make_batch_compress", "make_batch_decompress", "shard_images"]

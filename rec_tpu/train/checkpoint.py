@@ -1,40 +1,66 @@
-"""Orbax checkpointing of the full TrainState (step/params/optimizer/EMA/beta
-— the same contents as ref tf.train.Checkpoint, train_generative_model.py:
-364-370), keeping the newest 3 (ref max_to_keep=3)."""
+"""Checkpointing of the full TrainState (step/params/optimizer/EMA/beta —
+the same contents as ref tf.train.Checkpoint, train_generative_model.py:
+364-370), keeping the newest 3 (ref max_to_keep=3).
+
+Backend: flax msgpack serialization with atomic renames.  (Orbax's async
+CheckpointManager deadlocks under the axon remote-TPU platform used for
+development; the states here are small and replicated, so simple
+synchronous serialization is strictly better.  The API is unchanged, so an
+Orbax backend can be swapped back in for multi-host sharded states.)
+"""
 
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 import jax
-import orbax.checkpoint as ocp
+from flax import serialization
 
 from .state import TrainState
+
+_CKPT_RE = re.compile(r"^ckpt_(\d+)\.msgpack$")
 
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
+        self.max_to_keep = max_to_keep
         os.makedirs(self.directory, exist_ok=True)
-        self._mgr = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def _steps(self):
+        steps = []
+        for name in os.listdir(self.directory):
+            m = _CKPT_RE.match(name)
+            if m:
+                steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"ckpt_{step}.msgpack")
 
     def save(self, state: TrainState) -> None:
-        self._mgr.save(int(state.step),
-                       args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
+        state = jax.device_get(state)
+        step = int(state.step)
+        data = serialization.to_bytes(state)
+        tmp = self._path(step) + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self._path(step))  # atomic
+        for old in self._steps()[: -self.max_to_keep]:
+            os.remove(self._path(old))
 
     def restore(self, template: TrainState) -> Optional[TrainState]:
         """Restore the latest checkpoint onto ``template``'s structure, or
         None if no checkpoint exists (restore-on-start, ref :419-429)."""
-        step = self._mgr.latest_step()
-        if step is None:
+        steps = self._steps()
+        if not steps:
             return None
-        return self._mgr.restore(step,
-                                 args=ocp.args.StandardRestore(template))
+        with open(self._path(steps[-1]), "rb") as f:
+            return serialization.from_bytes(template, f.read())
 
     @property
     def latest_step(self) -> Optional[int]:
-        return self._mgr.latest_step()
+        steps = self._steps()
+        return steps[-1] if steps else None
