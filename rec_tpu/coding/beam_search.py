@@ -50,6 +50,13 @@ class BeamSearchConfig:
     # while the transmitted indices stay valid for the f32 decode replay, so
     # bit-exactness is unaffected (the reported sample IS the replay).
     score_dtype: str = "bfloat16"
+    # Opt-in fused Pallas partition-step kernel on TPU (in-kernel threefry
+    # + erfinv + scoring; see ops/fused_beam_step.py).  Wins ~25% on the
+    # isolated scoring op but loses in the full encode (the pallas boundary
+    # blocks XLA's fusion of the surrounding aux-distribution math), so the
+    # default stays on the XLA path — see PERF.md.  Selection-only either
+    # way: winners/decodes always replay through jax.random in f32.
+    use_fused_kernel: bool = False
 
     @property
     def n_samples(self) -> int:
@@ -65,6 +72,15 @@ class BeamCodedBlock(NamedTuple):
     indices: jnp.ndarray  # (max_partitions,) int32 — winning beam's candidates
     count: jnp.ndarray    # () int32
     sample: jnp.ndarray   # (D,)
+
+
+def _use_fused(cfg: BeamSearchConfig) -> bool:
+    if not cfg.use_fused_kernel:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _candidate_keys(cfg: BeamSearchConfig, skey, hashes):
@@ -111,23 +127,30 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
         cum_coder = GaussianParams(jnp.zeros((D,), beams.dtype), cum_scale)
 
         skey = rng.step_key(block_key, t)
-        cand_keys = _candidate_keys(cfg, skey, hashes)            # (B, S, 2)
-        # Scoring runs in reduced precision: the (B, S, D) candidates are
-        # generated directly in score_dtype and fused into the reduction
-        # (never materialized in f32 — this is the encode bandwidth
-        # bottleneck).  Selection-only: the winners are regenerated in f32
-        # below, so the carried beams stay exactly replay-consistent.
-        sdt = jnp.dtype(cfg.score_dtype)
-        # Generate in f32 and cast: the scored value must be the ROUNDING of
-        # the f32 sample the decoder will regenerate (a direct low-precision
-        # draw would be a different sample for the same key).  The cast fuses
-        # into the scoring reduction, so no f32 candidate tensor reaches HBM.
-        eps_lp = _candidate_rows(cand_keys, D).astype(sdt)        # (B, S, D)
-        combined_lp = (beams.astype(sdt)[:, None, :]
-                       + aux_scale.astype(sdt) * eps_lp)
-        scores = jnp.sum(
-            log_density_ratio(combined_lp.astype(jnp.float32),
-                              aux_t, cum_coder), axis=-1)
+        cand_keys = _candidate_keys(cfg, skey, hashes)            # (B, S) keys
+        if _use_fused(cfg):
+            from ..ops.beam_score import _quadratic_coeffs
+            from ..ops.fused_beam_step import fused_candidate_scores
+
+            qa, qb, qc = _quadratic_coeffs(aux_t, cum_coder)
+            ckd = jax.vmap(jax.vmap(jax.random.key_data))(cand_keys)
+            scores = fused_candidate_scores(
+                ckd.astype(jnp.uint32), beams, aux_scale, qa, qb, qc,
+                S=S, D=D)
+        else:
+            # Scoring runs in reduced precision: generate f32 and cast (the
+            # scored value must be the ROUNDING of the f32 sample the
+            # decoder regenerates); the cast fuses into the reduction so no
+            # f32 candidate tensor reaches HBM.  Selection-only: winners are
+            # regenerated in f32 below, so the carried beams stay exactly
+            # replay-consistent.
+            sdt = jnp.dtype(cfg.score_dtype)
+            eps_lp = _candidate_rows(cand_keys, D).astype(sdt)    # (B, S, D)
+            combined_lp = (beams.astype(sdt)[:, None, :]
+                           + aux_scale.astype(sdt) * eps_lp)
+            scores = jnp.sum(
+                log_density_ratio(combined_lp.astype(jnp.float32),
+                                  aux_t, cum_coder), axis=-1)
         # First partition: all beams share the empty history, so their
         # candidate sets are identical; restrict to beam 0 to get B distinct
         # starts (ref beam_search_coder.py:495-505 uses a single stream).

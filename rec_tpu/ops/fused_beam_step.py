@@ -1,0 +1,129 @@
+"""Fused beam-search partition step — Pallas TPU kernel.
+
+Per partition the encoder scores B x S x D candidate elements whose values
+come from counter-based streams; generating them with ``jax.random`` and
+scoring in XLA materializes multi-MB tensors and dominates encode time
+(PERF.md).  This kernel generates the standard-normal candidate values
+in-register (threefry bits -> erfinv normal) and reduces them straight into
+per-candidate scores:
+
+    bits (r, d) = threefry(cand_key_r, (0, d)), xor-folded
+    eps  (r, d) = erfinv-normal mapping of bits
+    score(r)    = sum_d quad(beam_row_{r,d} + aux_scale_d * eps_{r,d})
+
+with r running over all B*S (beam, candidate) rows, chunked into large
+sublane blocks for VPU efficiency.  The per-candidate keys (one fold_in per
+row) are computed OUTSIDE the kernel by jax.random — they are B*S tiny
+hashes, and using the real jax.random keys keeps the stream addressing
+identical to the replay path by construction.
+
+The integer stages replicate jax.random bit-exactly and the float stages
+value-faithfully (ops/threefry_normal.py, unit-tested against jax.random:
+100% argmax agreement with the pure-jnp scorer).  Scoring is selection-only:
+winners and the decoder regenerate their rows through jax.random in f32, so
+the bit-exact decode contract is untouched (SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .threefry_normal import _LO, _PARITY, _ROT0, _ROT1, erfinv_f32
+
+
+def _rotl(x, r):
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def _threefry(k1, k2, x0, x1):
+    """Unrolled threefry2x32 on broadcast-compatible uint32 arrays."""
+    ks2 = k1 ^ k2 ^ _PARITY
+    x = [x0 + k1, x1 + k2]
+
+    def rounds(x, rots):
+        for r in rots:
+            a = x[0] + x[1]
+            b = _rotl(x[1], r)
+            x = [a, a ^ b]
+        return x
+
+    x = rounds(x, _ROT0)
+    x = [x[0] + k2, x[1] + ks2 + np.uint32(1)]
+    x = rounds(x, _ROT1)
+    x = [x[0] + ks2, x[1] + k1 + np.uint32(2)]
+    x = rounds(x, _ROT0)
+    x = [x[0] + k1, x[1] + k2 + np.uint32(3)]
+    x = rounds(x, _ROT1)
+    x = [x[0] + k2, x[1] + ks2 + np.uint32(4)]
+    x = rounds(x, _ROT0)
+    return x[0] + ks2, x[1] + k1 + np.uint32(5)
+
+
+def _kernel(rows: int, D_pad: int, ck_ref, beams_ref, scale_ref, a_ref,
+            b_ref, out_ref):
+    ck1 = ck_ref[:, 0:1]                     # (rows, 1) u32
+    ck2 = ck_ref[:, 1:2]
+
+    d_iota = jax.lax.broadcasted_iota(jnp.uint32, (rows, D_pad), 1)
+    o0, o1 = _threefry(ck1, ck2, jnp.zeros_like(d_iota), d_iota)
+    bits = o0 ^ o1
+
+    fbits = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
+    x01 = jax.lax.bitcast_convert_type(fbits, jnp.float32) - np.float32(1.0)
+    u = jnp.maximum(x01 * (np.float32(1.0) - _LO) + _LO, _LO)
+    eps = np.float32(np.sqrt(2.0)) * erfinv_f32(u)
+
+    x = beams_ref[:] + scale_ref[:] * eps
+    s = jnp.sum((a_ref[:] * x + b_ref[:]) * x, axis=-1, keepdims=True)
+    out_ref[:] = jnp.broadcast_to(s, (rows, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("S", "D", "row_chunk"))
+def fused_candidate_scores(cand_keys, beams, aux_scale, a, b, c_sum, *,
+                           S: int, D: int, row_chunk: int = 256):
+    """cand_keys (B, S, 2) u32 (raw key data); beams (B, D);
+    aux_scale/a/b (D,); -> (B, S) f32 scores."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = beams.shape[0]
+    R = B * S
+    D_pad = -(-D // 128) * 128
+    rows = min(row_chunk, -(-R // 8) * 8)
+    R_pad = -(-R // rows) * rows
+    pad_d = D_pad - D
+
+    ck = cand_keys.reshape(R, 2)
+    ck = jnp.pad(ck, ((0, R_pad - R), (0, 0)))
+    # Per-row beam values: gather is (R, D) f32 — a few MB, written once.
+    beam_rows = jnp.repeat(jnp.pad(beams, ((0, 0), (0, pad_d))), S, axis=0)
+    beam_rows = jnp.pad(beam_rows, ((0, R_pad - R), (0, 0)))
+
+    def vec(v):
+        return jnp.pad(v, (0, pad_d))[None, :]
+
+    kernel = functools.partial(_kernel, rows, D_pad)
+    scores = pl.pallas_call(
+        kernel,
+        grid=(R_pad // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, D_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R_pad, 128), jnp.float32),
+    )(ck, beam_rows, vec(aux_scale), vec(a), vec(b))
+    return scores[:R, 0].reshape(B, S) + c_sum
