@@ -57,6 +57,13 @@ class BeamSearchConfig:
     # default stays on the XLA path — see PERF.md.  Selection-only either
     # way: winners/decodes always replay through jax.random in f32.
     use_fused_kernel: bool = False
+    # Opt-in dynamic early exit: run the partition loop as a while_loop that
+    # stops at the data-dependent count instead of the static budget.  Big
+    # runtime win for trained models (counts of 2-4 vs a budget of 24), but
+    # the while_loop program compiles pathologically slowly on the TPU
+    # toolchain (>10 min vs ~1 min for the scan) — enable for long-lived
+    # serving processes where the compile amortizes.
+    dynamic_early_exit: bool = False
 
     @property
     def n_samples(self) -> int:
@@ -179,8 +186,17 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
             jnp.full((B,), rng.fnv_init()),
             jnp.zeros((B, P), jnp.int32),
             jnp.zeros((D,), jnp.float32))
-    (beams, _, beam_indices, _), _ = jax.lax.scan(
-        step, init, jnp.arange(P, dtype=jnp.int32))
+    if cfg.dynamic_early_exit:
+        # Stops at the data-dependent partition count (under vmap over
+        # latent blocks, at the batch max); the body is a no-op for
+        # finished lanes (tree_where).
+        (_, (beams, _, beam_indices, _)) = jax.lax.while_loop(
+            lambda c: c[0] < n,
+            lambda c: (c[0] + 1, step(c[1], c[0])[0]),
+            (jnp.asarray(0, jnp.int32), init))
+    else:
+        (beams, _, beam_indices, _), _ = jax.lax.scan(
+            step, init, jnp.arange(P, dtype=jnp.int32))
 
     return BeamCodedBlock(indices=beam_indices[0], count=n,
                           sample=beams[0] + coder.loc)
@@ -218,6 +234,12 @@ def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
 
     init = (jnp.zeros((D,), jnp.float32), rng.fnv_init(),
             jnp.zeros((D,), jnp.float32))
-    (sample, _, _), _ = jax.lax.scan(
-        step, init, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    if cfg.dynamic_early_exit:
+        (_, (sample, _, _)) = jax.lax.while_loop(
+            lambda c: c[0] < count,
+            lambda c: (c[0] + 1, step(c[1], c[0])[0]),
+            (jnp.asarray(0, jnp.int32), init))
+    else:
+        (sample, _, _), _ = jax.lax.scan(
+            step, init, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
     return sample + coder.loc

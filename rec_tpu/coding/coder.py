@@ -115,6 +115,7 @@ class GaussianCoder(_BlockCoder):
     block_size: Optional[int] = 1000
     max_partitions: int = 24
     candidate_chunk: int = 1024
+    dynamic_early_exit: bool = False
     aux_variance_ratios: Optional[tuple] = None  # learned table, else power law
 
     def _cfg(self):
@@ -122,7 +123,8 @@ class GaussianCoder(_BlockCoder):
             kl_per_partition=self.kl_per_partition,
             coding_bits=self.coding_bits,
             max_partitions=self.max_partitions,
-            candidate_chunk=self.candidate_chunk)
+            candidate_chunk=self.candidate_chunk,
+            dynamic_early_exit=self.dynamic_early_exit)
 
     def _encode_block(self, target, coder, bkey, ratios):
         return importance.encode_block(self._cfg(), target, coder, bkey, ratios)
@@ -149,6 +151,8 @@ class BeamSearchCoder(_BlockCoder):
     extra_samples: float = 1.2
     block_size: Optional[int] = 1000
     max_partitions: int = 24
+    use_fused_kernel: bool = False
+    dynamic_early_exit: bool = False
     aux_variance_ratios: Optional[tuple] = None
 
     def _cfg(self):
@@ -156,7 +160,9 @@ class BeamSearchCoder(_BlockCoder):
             kl_per_partition=self.kl_per_partition,
             n_beams=self.n_beams,
             extra_samples=self.extra_samples,
-            max_partitions=self.max_partitions)
+            max_partitions=self.max_partitions,
+            use_fused_kernel=self.use_fused_kernel,
+            dynamic_early_exit=self.dynamic_early_exit)
 
     @property
     def n_samples(self) -> int:

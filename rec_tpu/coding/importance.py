@@ -46,6 +46,8 @@ class ImportanceCoderConfig:
     coding_bits: int = 12
     max_partitions: int = 24
     candidate_chunk: int = 1024
+    # See BeamSearchConfig.dynamic_early_exit (same trade-off).
+    dynamic_early_exit: bool = False
 
     @property
     def num_candidates(self) -> int:
@@ -158,8 +160,22 @@ def encode_block(cfg: ImportanceCoderConfig, target: GaussianParams,
         carry = tree_where(active, (new_tgt, new_cod), (tgt, cod))
         return carry, jnp.where(active, idx, 0)
 
-    (_, final_coder), indices = jax.lax.scan(
-        step, (target, coder), jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    if cfg.dynamic_early_exit:
+        # Early-exit loop (see beam_search.encode_block): indices are
+        # written into a carried buffer instead of scan outputs.
+        def body(c):
+            t, carry, indices = c
+            new_carry, idx = step(carry, t)
+            return t + 1, new_carry, indices.at[t].set(idx)
+
+        _, (_, final_coder), indices = jax.lax.while_loop(
+            lambda c: c[0] < n, body,
+            (jnp.asarray(0, jnp.int32), (target, coder),
+             jnp.zeros((cfg.max_partitions,), jnp.int32)))
+    else:
+        (_, final_coder), indices = jax.lax.scan(
+            step, (target, coder),
+            jnp.arange(cfg.max_partitions, dtype=jnp.int32))
     return CodedBlock(indices=indices, count=n, sample=final_coder.loc)
 
 
@@ -179,8 +195,14 @@ def decode_block(cfg: ImportanceCoderConfig, coder: GaussianParams,
         new_cod = conditional_coder(cod, aux_var, aux_scale * eps)
         return tree_where(t < count, new_cod, cod), None
 
-    final_coder, _ = jax.lax.scan(
-        step, coder, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    if cfg.dynamic_early_exit:
+        _, final_coder = jax.lax.while_loop(
+            lambda c: c[0] < count,
+            lambda c: (c[0] + 1, step(c[1], c[0])[0]),
+            (jnp.asarray(0, jnp.int32), coder))
+    else:
+        final_coder, _ = jax.lax.scan(
+            step, coder, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
     return final_coder.loc
 
 
