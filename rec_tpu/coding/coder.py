@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from . import beam_search, importance, rng
-from .gauss import GaussianParams, kl_divergence
-from .partition import (BlockSplit, block_kl, merge, plan_split, split_coder,
+from .gauss import GaussianParams
+from .partition import (block_kl, merge, plan_split, split_coder,
                         split_pair, split_permutation)
 
 

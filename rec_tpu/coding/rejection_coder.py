@@ -21,7 +21,7 @@ import numpy as np
 from . import rng
 from .gauss import (GaussianParams, auxiliary_target, conditional_coder,
                     conditional_target, kl_divergence)
-from .partition import aux_variance_ratio, num_partitions
+from .partition import aux_variance_ratio
 from .rejection import (RejectionSampler, RejectionSamplerConfig,
                         decode_rejection_sample)
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import ast
 import dataclasses
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 
 def _convert(value: str) -> Any:
