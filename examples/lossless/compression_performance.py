@@ -7,6 +7,9 @@ Modes:
     per-image CSV row (bits/dim, ideal bpp, PSNR, comp time, ...).
   * ``mode=initialize`` — fit the coder's auxiliary-variance ratios on test
     images and persist them (ref :151-210).
+  * ``mode=update_sampler`` — fit the rejection sampler's acceptance-
+    probability buffers over test images for codelength estimates and
+    persist them (ref :299-303 + samplers.py:134-157).
 
 Unlike the reference (which pins TF to CPU, ref :16), compression runs on
 the TPU; only arithmetic coding is host-side.
@@ -56,6 +59,7 @@ class Config:
     block_size: int = 1000
     max_partitions: int = 24
     num_images: int = 10
+    pad_multiple: int = 2  # x64 only needed by the /64-downsampling models (ref pads to x64, :311-312)
     seed: int = 42
     true_lossless: bool = True   # also code the residual stream (beyond the
                                  # reference, which only counts those bits)
@@ -110,7 +114,7 @@ def initialize_coder_ratios(cfg: Config, log):
     model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=None)
     images, synthetic = load_images(cfg.dataset)
     images = normalize(images, "centered")[: cfg.num_images]
-    example = jnp.asarray(pad_to_multiple(images[:1], 64))
+    example = jnp.asarray(pad_to_multiple(images[:1], cfg.pad_multiple))
     params, restored = load_params(cfg, model, example)
 
     forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
@@ -118,7 +122,7 @@ def initialize_coder_ratios(cfg: Config, log):
                          max_partitions=cfg.max_partitions)
     key = jax.random.PRNGKey(cfg.seed)
     for i, img in enumerate(images):
-        x = jnp.asarray(pad_to_multiple(img[None], 64))
+        x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
         out = forward(params, x, jax.random.fold_in(key, i))
         log.info(f"init image {i}: "
                  f"total kl={float(jnp.sum(out['analytic_kl'])):.0f}")
@@ -140,6 +144,46 @@ def initialize_coder_ratios(cfg: Config, log):
     log.info(f"saved fitted ratios to {path}")
 
 
+def update_rejection_sampler(cfg: Config, log):
+    """mode=update_sampler: run the rejection coder's update pass over the
+    per-res-block aux pairs of test images and persist the averaged
+    acceptance probabilities."""
+    from rec_tpu.coding import RejectionCoder
+    from rec_tpu.coding.gauss import GaussianParams
+    from rec_tpu.coding.partition import (plan_split, split_pair,
+                                          split_permutation)
+    from rec_tpu.coding import rng as crng
+
+    model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=None)
+    images, _ = load_images(cfg.dataset)
+    images = normalize(images, "centered")[: cfg.num_images]
+    example = jnp.asarray(pad_to_multiple(images[:1], cfg.pad_multiple))
+    params, _ = load_params(cfg, model, example)
+    forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
+
+    rc = RejectionCoder(kl_per_partition=cfg.kl_per_partition)
+    for i, img in enumerate(images):
+        x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
+        out = forward(params, x, jax.random.PRNGKey(cfg.seed + i))
+        post, prior = out["posterior"], out["prior"]
+        for n in range(cfg.model_cfg.num_res_blocks):
+            p_n = GaussianParams(post.loc[n], post.scale[n])
+            c_n = GaussianParams(prior.loc[n], prior.scale[n])
+            plan = plan_split(int(p_n.loc.size), cfg.block_size)
+            perm = split_permutation(crng.root_key(cfg.seed + i), plan)
+            tb, cb = split_pair(p_n, c_n, plan, perm)
+            # First block is representative; update is a running average.
+            rc.encode_block(GaussianParams(tb.loc[0], tb.scale[0]),
+                            GaussianParams(cb.loc[0], cb.scale[0]),
+                            seed=cfg.seed + i * 64 + n, update_sampler=True)
+        log.info(f"update_sampler image {i} done")
+    path = os.path.join(cfg.model_save_dir, "rejection_acceptance.npy")
+    os.makedirs(cfg.model_save_dir, exist_ok=True)
+    np.save(path, rc.sampler.acceptance_probabilities)
+    log.info(f"saved acceptance probabilities to {path} "
+             f"(spillover p={rc.sampler.spillover_probability:.3e})")
+
+
 def main(argv):
     cfg = apply_overrides(Config(), argv)
     print_config(cfg)
@@ -148,6 +192,9 @@ def main(argv):
 
     if cfg.mode == "initialize":
         initialize_coder_ratios(cfg, log)
+        return
+    if cfg.mode == "update_sampler":
+        update_rejection_sampler(cfg, log)
         return
 
     coder = build_coder(cfg)
@@ -164,7 +211,7 @@ def main(argv):
         log.warning("using SYNTHETIC data (no local dataset found)")
     images = normalize(images, "centered")[: cfg.num_images]
 
-    example = jnp.asarray(pad_to_multiple(images[:1], 64))
+    example = jnp.asarray(pad_to_multiple(images[:1], cfg.pad_multiple))
     params, restored = load_params(cfg, model, example)
     log.info(f"params restored from checkpoint: {restored}")
 
@@ -203,7 +250,7 @@ def main(argv):
 def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
                   decompress):
     if True:
-        x = jnp.asarray(pad_to_multiple(img[None], 64))
+        x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
         h, w = x.shape[1:3]
         num_dims = float(np.prod(x.shape[1:]))
         seed = cfg.seed + i
