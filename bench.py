@@ -19,6 +19,10 @@ import json
 import time
 
 import jax
+
+from rec_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -19,6 +19,10 @@ from typing import Optional
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
+
+from rec_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 
 from rec_tpu.data.datasets import DatasetConfig, iterate_batches

@@ -16,6 +16,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
+
+from rec_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 
