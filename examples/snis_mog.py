@@ -94,6 +94,29 @@ def main():
         pass
     log.info(f"final nll={float(loss):.3f}; wrote {args.out}/density.npy")
 
+    # ------------------------------------------------------------------
+    # SNIS relative entropy coding: transmit a sample from the learned
+    # distribution using only the N(0, I) proposal + a shared seed — the
+    # BASELINE.json "snis_mog" REC workload.  The custom log-weighting hook
+    # scores proposals by the energy network (ref
+    # importance_sampling.py:234-238).
+    # ------------------------------------------------------------------
+    from rec_tpu.coding import GaussianParams
+    from rec_tpu.coding.importance import (
+        decode_gaussian_importance_sample, encode_gaussian_importance_sample)
+
+    proposal = GaussianParams(jnp.zeros(2), jnp.ones(2))
+    energy_fn = lambda eps: model.apply(params, eps, method=model.energy)[:, 0]
+    idx, sample = encode_gaussian_importance_sample(
+        proposal, proposal, jax.random.PRNGKey(7), coding_bits=10,
+        log_weighting_fn=energy_fn)
+    recon = decode_gaussian_importance_sample(
+        proposal, idx, jax.random.PRNGKey(7), coding_bits=10)
+    exact = bool(np.array_equal(np.asarray(sample), np.asarray(recon)))
+    log.info(f"SNIS-REC: coded sample {np.asarray(sample).round(3)} with 10 "
+             f"bits (index {int(idx)}), bit-exact decode: {exact}")
+    assert exact
+
 
 if __name__ == "__main__":
     main()

@@ -69,19 +69,29 @@ class CodedBlock(NamedTuple):
     sample: jnp.ndarray   # (D,) the coded (decoder-reproducible) sample
 
 
-def _argmax_candidate(cfg: ImportanceCoderConfig, skey, std_target: GaussianParams):
+def _argmax_candidate(cfg: ImportanceCoderConfig, skey,
+                      std_target: GaussianParams,
+                      alpha: float = float("inf"), log_weighting_fn=None):
     """Running argmax of importance weights over chunked proposal streams.
 
     Returns (global index, winning standard-normal proposal vector).
+    Finite ``alpha`` Gumbel-perturbs the selection (encoder-side only).
     """
     D = std_target.loc.shape[-1]
     C = cfg.chunk_size
     std = standard_normal_like(std_target.loc)
+    gumbel_key = jax.random.fold_in(skey, 0x6b1)  # encoder-only stream
 
     def chunk_step(carry, c):
         best_w, best_idx, best_eps = carry
         eps = rng.normal_stream(jax.random.fold_in(skey, c), (C, D))
-        logw = jnp.sum(log_density_ratio(eps, std_target, std), axis=-1)
+        if log_weighting_fn is not None:
+            logw = log_weighting_fn(eps)
+        else:
+            logw = jnp.sum(log_density_ratio(eps, std_target, std), axis=-1)
+        if alpha != float("inf"):
+            logw = alpha * logw + jax.random.gumbel(
+                jax.random.fold_in(gumbel_key, c), (C,))
         j = jnp.argmax(logw)
         better = logw[j] > best_w
         return (jnp.where(better, logw[j], best_w),
@@ -105,15 +115,28 @@ def _regen_candidate(cfg: ImportanceCoderConfig, skey, index, dim: int):
 def encode_gaussian_importance_sample(target: GaussianParams,
                                       coder: GaussianParams,
                                       key, coding_bits: int,
-                                      candidate_chunk: int = 1024):
+                                      candidate_chunk: int = 1024,
+                                      alpha: float = float("inf"),
+                                      log_weighting_fn=None):
     """Single-shot importance coding of target vs coder (ref
-    importance_sampling.py:186-256, alpha=inf path).  Returns (index, sample).
+    importance_sampling.py:186-256).  Returns (index, sample).
+
+    ``alpha``: L-alpha selection norm — inf takes the argmax importance
+    weight; finite alpha Gumbel-perturbs ``alpha * log w`` before the argmax
+    (ref :244-249).  Deviation from the reference, by design: the Gumbel
+    noise is a true Gumbel from uniforms, not the reference's accidental
+    normal-based variant (ref rec/coding/utils.py:10-12, noted in SURVEY.md
+    §7 quirks).  Selection-side only — decode is unchanged.
+
+    ``log_weighting_fn``: optional custom scorer of standardized proposals
+    (e.g. an SNIS energy, enabling REC of non-Gaussian targets, ref :234-238).
     """
     cfg = ImportanceCoderConfig(coding_bits=coding_bits,
                                 candidate_chunk=candidate_chunk)
     std_target = GaussianParams((target.loc - coder.loc) / coder.scale,
                                 target.scale / coder.scale)
-    idx, eps = _argmax_candidate(cfg, key, std_target)
+    idx, eps = _argmax_candidate(cfg, key, std_target, alpha=alpha,
+                                 log_weighting_fn=log_weighting_fn)
     return idx, coder.loc + coder.scale * eps
 
 

@@ -173,3 +173,40 @@ class TestDynamicEarlyExit:
                                       np.asarray(b.indices))
         np.testing.assert_array_equal(np.asarray(a.sample),
                                       np.asarray(b.sample))
+
+
+class TestImportanceExtensions:
+    def test_finite_alpha_roundtrip(self):
+        """Gumbel-perturbed (finite-alpha) selection still decodes bit-exact
+        (the perturbation is encoder-only)."""
+        from rec_tpu.coding.importance import (
+            decode_gaussian_importance_sample,
+            encode_gaussian_importance_sample)
+        target, coder = _needle()
+        key = jax.random.PRNGKey(9)
+        idx, sample = encode_gaussian_importance_sample(
+            target, coder, key, coding_bits=8, candidate_chunk=64,
+            alpha=2.0)
+        recon = decode_gaussian_importance_sample(coder, idx, key,
+                                                  coding_bits=8,
+                                                  candidate_chunk=64)
+        np.testing.assert_array_equal(np.asarray(sample), np.asarray(recon))
+
+    def test_custom_weighting_fn(self):
+        """SNIS-style custom scorer: selects by an arbitrary energy, decodes
+        bit-exact (ref importance_sampling.py:234-238)."""
+        from rec_tpu.coding.importance import (
+            decode_gaussian_importance_sample,
+            encode_gaussian_importance_sample)
+        proposal = GaussianParams(jnp.zeros(2), jnp.ones(2))
+        energy = lambda eps: -jnp.sum(jnp.square(eps - 1.5), axis=-1)
+        key = jax.random.PRNGKey(10)
+        idx, sample = encode_gaussian_importance_sample(
+            proposal, proposal, key, coding_bits=10, candidate_chunk=128,
+            log_weighting_fn=energy)
+        recon = decode_gaussian_importance_sample(proposal, idx, key,
+                                                  coding_bits=10,
+                                                  candidate_chunk=128)
+        np.testing.assert_array_equal(np.asarray(sample), np.asarray(recon))
+        # the energy pulled the selection toward (1.5, 1.5)
+        assert float(jnp.linalg.norm(sample - 1.5)) < 1.5
