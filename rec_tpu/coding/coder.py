@@ -101,8 +101,12 @@ class _BlockCoder:
         )(c, indices, counts, bkeys)
         return merge(samples, shape, plan, perm)
 
+    aux_variance_ratios = None  # subclass dataclasses may set a table
+
     def _ratios(self):
-        return getattr(self, "aux_variance_ratios", None)
+        if self.aux_variance_ratios is None:
+            return None
+        return jnp.asarray(self.aux_variance_ratios, jnp.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,11 +136,6 @@ class GaussianCoder(_BlockCoder):
     def _decode_block(self, coder, indices, count, bkey, ratios):
         return importance.decode_block(self._cfg(), coder, indices, count,
                                        bkey, ratios)
-
-    def _ratios(self):
-        if self.aux_variance_ratios is None:
-            return None
-        return jnp.asarray(self.aux_variance_ratios, jnp.float32)
 
     def codelength_nats(self, coded: CodedLatent) -> jnp.ndarray:
         return jnp.sum(importance.codelength_nats(self._cfg(), coded.counts))
@@ -174,11 +173,6 @@ class BeamSearchCoder(_BlockCoder):
     def _decode_block(self, coder, indices, count, bkey, ratios):
         return beam_search.decode_block(self._cfg(), coder, indices, count,
                                         bkey, ratios)
-
-    def _ratios(self):
-        if self.aux_variance_ratios is None:
-            return None
-        return jnp.asarray(self.aux_variance_ratios, jnp.float32)
 
     def codelength_nats(self, coded: CodedLatent) -> jnp.ndarray:
         return jnp.sum(self._cfg().codelength_nats(coded.counts))

@@ -131,6 +131,12 @@ def encode_gaussian_importance_sample(target: GaussianParams,
     ``log_weighting_fn``: optional custom scorer of standardized proposals
     (e.g. an SNIS energy, enabling REC of non-Gaussian targets, ref :234-238).
     """
+    if alpha < 1.0:
+        from .utils import CodingError
+
+        raise CodingError(
+            f"alpha must be in [1, inf), got {alpha} "
+            "(ref importance_sampling.py:211-212)")
     cfg = ImportanceCoderConfig(coding_bits=coding_bits,
                                 candidate_chunk=candidate_chunk)
     std_target = GaussianParams((target.loc - coder.loc) / coder.scale,

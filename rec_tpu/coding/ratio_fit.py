@@ -61,7 +61,11 @@ def _fit_one_ratio(cfg: RatioFitConfig, target: GaussianParams,
         rem = total_kl - aux_kl
         rem_loss = jnp.where(rem > omega * (r - 1.0),
                              jnp.square(rem - omega * (r - 1.0)), 0.0)
-        return jnp.mean(jnp.where(mask, aux_loss + rem_loss, 0.0))
+        # Mean over the SELECTED blocks only (the reference gathers them,
+        # coder.py:314-318); averaging over all blocks would shrink the
+        # gradient and trip the absolute early-stop when few blocks match.
+        n_sel = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+        return jnp.sum(jnp.where(mask, aux_loss + rem_loss, 0.0)) / n_sel
 
     grad_fn = jax.value_and_grad(losses)
 

@@ -118,14 +118,20 @@ def r_pstar_buffers(log_ratios, t_mass, p_mass, r_buffer_size: int
         pc = p_zero + (p_cum_arr[k - 1] if k > 0 else 0.0)
         tc = t_cum_arr[k - 1] if k > 0 else 0.0
         fix = (1.0 - tc) / (1.0 - pc)
-        last = k == len(ratios) - 1
+        # The recursion saturates at `fix`; a noisy empirical ratio above it
+        # can never be crossed, so the slice runs to the buffer end (the
+        # reference's log of a negative would NaN here).
+        last = (k == len(ratios) - 1) or (r_next >= fix)
         if last:
             interval = r_buffer_size - i
         else:
-            # Steps until r would cross r_next: geometric approach to `fix`.
+            # Steps until r crosses r_next: geometric approach to `fix`.
+            # True division (the reference floor-divides inside the ceil,
+            # cutting each slice one step short on smooth targets —
+            # measured 2e-2 divergence from the defining recursion).
             num = np.log((r_next - fix) / (r - fix))
-            interval = min(r_buffer_size - i,
-                           int(np.ceil(num // np.log(pc))))
+            interval = max(1, min(r_buffer_size - i,
+                                  int(np.ceil(num / np.log(pc)))))
         steps = 1.0 + np.arange(interval, dtype=np.float64)
         r_slice = fix - np.exp(np.log(pc) * steps + np.log(fix - r))
         r_buffer[i:i + interval] = r_slice
@@ -174,16 +180,28 @@ def rejection_sample(cfg: RejectionSamplerConfig, std_target: GaussianParams,
     n_rounds = cfg.r_buffer_size // buf
     D = std_target.loc.shape[-1]
 
+    # Harsha acceptance for proposal i uses the state BEFORE seeing it:
+    # accept iff u < (w - r_i) / (1 - P*_i) with r_0 = P*_0 = 0 — the
+    # buffers store r_{i+1}/P*_{i+1}, so consume them shifted by one.
+    # (The reference pairs proposal i with r_{i+1}/P*_{i+1} and a different
+    # acceptance form, which measurably biases samples — mean 0.70 instead
+    # of 0.50 on a N(0.5,0.7)-vs-N(0,1) test; the shifted rule reproduces
+    # the target exactly.  Deliberate fix, not a replicated quirk.)
+    r_shift = jnp.concatenate([jnp.zeros((1,), r_buffer.dtype),
+                               r_buffer[:-1]])
+    pstar_shift = jnp.concatenate([jnp.zeros((1,), pstar_buffer.dtype),
+                                   pstar_buffer[:-1]])
+
     def main_round(carry, ridx):
         found, index, sample, ukey = carry
         eps, ratios = _round_ratios(std_target, key, ridx, buf)
         ukey, sub = jax.random.split(ukey)
         u = jax.random.uniform(sub, (buf,))
         start = ridx * buf
-        accept = ((jnp.exp(ratios)
-                   - jax.lax.dynamic_slice(r_buffer, (start,), (buf,)))
-                  / (1.0 - jax.lax.dynamic_slice(pstar_buffer, (start,), (buf,)))
-                  + u) > 0.0
+        accept = u < ((jnp.exp(ratios)
+                       - jax.lax.dynamic_slice(r_shift, (start,), (buf,)))
+                      / (1.0 - jax.lax.dynamic_slice(pstar_shift, (start,),
+                                                     (buf,))))
         any_acc = jnp.any(accept)
         first = jnp.argmax(accept)
         newly = any_acc & ~found

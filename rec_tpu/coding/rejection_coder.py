@@ -38,6 +38,14 @@ class RejectionCoder:
 
     def _ratio(self, i: int) -> float:
         if self.aux_variance_ratios is not None:
+            if i >= len(self.aux_variance_ratios):
+                from .utils import CodingError
+
+                raise CodingError(
+                    f"KL needs ratio index {i} but the learned table has "
+                    f"only {len(self.aux_variance_ratios)} entries; refit "
+                    "with higher-KL data or use extrapolation "
+                    "(ref coder.py:226-230)")
             return float(self.aux_variance_ratios[i])
         return float(aux_variance_ratio(i))
 

@@ -148,3 +148,52 @@ class TestRejectionCoder:
         rc.encode_block(t, p, seed=1, update_sampler=True)
         indices, _ = rc.encode_block(t, p, seed=2)
         assert rc.get_codelength(indices) > 0
+
+
+class TestRejectionExactness:
+    """The rejection sampler is supposed to be an EXACT sampler of the
+    target.  Distribution test added after the review finding that the
+    reference's acceptance pairing (proposal i vs r_{i+1}/P*_{i+1}) biases
+    samples (mean 0.70, std 0.52 for a N(0.5, 0.7) target)."""
+
+    def test_coded_samples_match_target_distribution(self):
+        from rec_tpu.coding.rejection import rejection_sample
+
+        t = GaussianParams(jnp.asarray([0.5], jnp.float32),
+                           jnp.asarray([0.7], jnp.float32))
+        p = GaussianParams(jnp.asarray([0.0], jnp.float32),
+                           jnp.asarray([1.0], jnp.float32))
+        cfg = RejectionSamplerConfig(sample_buffer_size=1000,
+                                     r_buffer_size=5000)
+        lr, tm, pm = estimate_mass(t, p, jax.random.PRNGKey(0), 100, 100)
+        r_buf, ps_buf = r_pstar_buffers(np.asarray(lr), np.asarray(tm),
+                                        np.asarray(pm), cfg.r_buffer_size)
+        r_buf = jnp.asarray(r_buf, jnp.float32)
+        ps_buf = jnp.asarray(ps_buf, jnp.float32)
+        std_t = t  # coder is already standard normal
+
+        sample_many = jax.jit(jax.vmap(
+            lambda k: rejection_sample(cfg, std_t, k, r_buf, ps_buf).sample),
+            static_argnums=())
+        keys = jax.random.split(jax.random.PRNGKey(1), 600)
+        arr = np.asarray(sample_many(keys))[:, 0]
+        # 600 samples: se(mean) ~ 0.029, se(std) ~ 0.02
+        assert abs(arr.mean() - 0.5) < 0.1, arr.mean()
+        assert abs(arr.std() - 0.7) < 0.09, arr.std()
+
+    def test_fast_buffers_on_smooth_target(self):
+        """The fast geometric-slice builder must track the defining
+        recursion on smooth (non-needle) targets too (the reference's
+        floor-division diverged by 2e-2 there)."""
+        rs = np.random.RandomState(0)
+        t = GaussianParams(jnp.asarray(0.4 * rs.randn(4), jnp.float32),
+                           jnp.asarray(np.exp(0.1 * rs.randn(4)),
+                                       jnp.float32))
+        p = GaussianParams(jnp.zeros(4, jnp.float32),
+                           jnp.ones(4, jnp.float32))
+        lr, tm, pm = estimate_mass(t, p, jax.random.PRNGKey(3), 100, 100)
+        lr, tm, pm = np.asarray(lr), np.asarray(tm), np.asarray(pm)
+        r_f, ps_f = r_pstar_buffers(lr, tm, pm, 20000)
+        r_n, ps_n = r_pstar_naive(lr, tm, pm, 20000)
+        np.testing.assert_allclose(r_f, r_n, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(ps_f, ps_n, rtol=1e-4, atol=1e-4)
