@@ -50,6 +50,10 @@ def _load_native() -> Optional[ctypes.CDLL]:
                                   ctypes.c_int64, i32p, ctypes.c_int64, i64p]
     lib.rec_ac_encode_bound_bits.restype = ctypes.c_int64
     lib.rec_ac_encode_bound_bits.argtypes = [ctypes.c_int64, ctypes.c_int]
+    lib.rec_ac_encode_many.restype = ctypes.c_int
+    lib.rec_ac_encode_many.argtypes = [i64p, i64p, i32p, ctypes.c_int, i32p,
+                                       i64p, ctypes.c_int, u8p, i64p, i64p,
+                                       i32p]
     return lib
 
 
@@ -197,6 +201,52 @@ class ArithmeticCoder:
             raise ValueError(f"arithmetic encode failed (rc={rc})")
         nbits = int(out_bits.value)
         return bytes(out[: (nbits + 7) // 8]), nbits
+
+    @staticmethod
+    def encode_many(counts_list, messages, precision: int = 32):
+        """Encode independent streams in parallel on host threads
+        (cpp rec_ac_encode_many; the .rec format codes per-latent streams
+        independently, ref rec/io/utils.py:66-68).  Returns a list of
+        (bytes, nbits).  Falls back to sequential encoding without the
+        native lib."""
+        lib = _load_native()
+        if lib is None:
+            return [ArithmeticCoder(c, precision).encode(m)
+                    for c, m in zip(counts_list, messages)]
+        n = len(messages)
+        counts_cat = np.concatenate([_as_i64(c) for c in counts_list])
+        counts_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(c) for c in counts_list], out=counts_off[1:])
+        n_symbols = np.asarray([len(c) for c in counts_list], np.int32)
+        msgs_cat = np.concatenate([_as_i32(m) for m in messages]) \
+            if n else np.zeros(0, np.int32)
+        msg_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(m) for m in messages], out=msg_off[1:])
+        bounds = [(int(lib.rec_ac_encode_bound_bits(len(m), precision)) + 7)
+                  // 8 for m in messages]
+        out_off = np.zeros(n + 1, np.int64)
+        np.cumsum(bounds, out=out_off[1:])
+        out = np.zeros(int(out_off[-1]), np.uint8)
+        out_bits = np.zeros(n, np.int64)
+        status = np.zeros(n, np.int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rc = lib.rec_ac_encode_many(
+            counts_cat.ctypes.data_as(i64p), counts_off.ctypes.data_as(i64p),
+            n_symbols.ctypes.data_as(i32p), precision,
+            msgs_cat.ctypes.data_as(i32p), msg_off.ctypes.data_as(i64p),
+            n, out.ctypes.data_as(u8p), out_off.ctypes.data_as(i64p),
+            out_bits.ctypes.data_as(i64p), status.ctypes.data_as(i32p))
+        if rc != 0:
+            raise ValueError(f"parallel arithmetic encode failed ({status})")
+        results = []
+        for s in range(n):
+            nbits = int(out_bits[s])
+            start = int(out_off[s])
+            results.append((bytes(out[start:start + (nbits + 7) // 8]),
+                            nbits))
+        return results
 
     def decode(self, data: bytes, nbits: int,
                max_symbols: Optional[int] = None) -> np.ndarray:

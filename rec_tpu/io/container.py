@@ -89,10 +89,20 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
     nav_counts_list = (list(nav_counts) if use_custom_nav
                        else [default_nav_counts(m) for m in nav_maxes])
 
-    index_coder = ArithmeticCoder(index_counts)
-    nav_codes = [_encode_stream(ArithmeticCoder(nc), nav + 0)
-                 for nc, nav in zip(nav_counts_list, nav_messages)]
-    index_codes = [_encode_stream(index_coder, idx) for idx in index_messages]
+    # All per-latent streams are independent -> one parallel native encode
+    # (host threads, cpp rec_ac_encode_many; ref codes streams separately
+    # too, rec/io/utils.py:66-68).
+    def to_message(symbols):
+        return np.concatenate([np.asarray(symbols, np.int64) + 1,
+                               [0]]).astype(np.int32)
+
+    all_counts = (list(nav_counts_list)
+                  + [index_counts] * len(index_messages))
+    all_messages = ([to_message(nav) for nav in nav_messages]
+                    + [to_message(idx) for idx in index_messages])
+    encoded = ArithmeticCoder.encode_many(all_counts, all_messages)
+    nav_codes = [data for data, _ in encoded[: len(nav_messages)]]
+    index_codes = [data for data, _ in encoded[len(nav_messages):]]
 
     header = struct.pack(
         _STATIC_HEADER, seed, block_size, max_index,

@@ -108,3 +108,23 @@ class TestRecContainer:
                            max_index=max_index, latents=[(indices, counts)])
         ideal_bits = nb * P * np.log2(max_index)
         assert nbytes * 8 < ideal_bits * 1.15 + 500
+
+
+class TestParallelEncodeMany:
+    def test_matches_sequential(self):
+        """Thread-fan-out multi-stream encode must be byte-identical to
+        per-stream encodes."""
+        rs = np.random.RandomState(7)
+        counts_list, messages = [], []
+        for _ in range(6):
+            v = rs.randint(8, 64)
+            counts = np.ones(v + 1, np.int64)
+            counts[1:] += rs.randint(1, 50, size=v)
+            counts_list.append(counts)
+            messages.append(_random_message(rs, v + 1, rs.randint(50, 400)))
+        par = ArithmeticCoder.encode_many(counts_list, messages)
+        for (data, nbits), counts, msg in zip(par, counts_list, messages):
+            seq_data, seq_bits = ArithmeticCoder(counts).encode(msg)
+            assert nbits == seq_bits and data == seq_data
+            np.testing.assert_array_equal(
+                ArithmeticCoder(counts).decode(data, nbits), msg)
