@@ -224,14 +224,20 @@ class LargeResNetVAE(nn.Module):
         return {
             "reconstruction": recon + 0.5,
             "log_likelihood": log_lik,
-            "kld_channelwise": (out1["kld_channelwise"],
-                                out2["kld_channelwise"]),
-            "analytic_kl": (out1["analytic_kl"], out2["analytic_kl"]),
-            "empirical_kld": (out1["empirical_kld"], out2["empirical_kld"]),
+            # Same array layouts as BidirectionalResNetVAE so the shared
+            # lossless trainer's free-bits path works unchanged: channels of
+            # both blocks concatenated, per-block KLs stacked.
+            "kld_channelwise": jnp.concatenate(
+                [out1["kld_channelwise"], out2["kld_channelwise"]]),
+            "analytic_kl": jnp.stack([out1["analytic_kl"],
+                                      out2["analytic_kl"]]),
+            "empirical_kld": jnp.stack([out1["empirical_kld"],
+                                        out2["empirical_kld"]]),
         }
 
     def compress(self, image, seed):
         B, H, W, _ = image.shape
+        assert B == 1, "compress expects batch size 1"
         stats1, stats2 = self._infer(image)
         recon, out1, out2 = self._generate(
             self._base(B, H, W), "encode",

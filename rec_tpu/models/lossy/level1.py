@@ -11,12 +11,9 @@ import jax
 import jax.numpy as jnp
 
 from ...coding.gauss import GaussianParams, kl_divergence
+from .transforms import softplus_scale as _softplus_scale
 from .transforms import (AnalysisTransform, EmpiricalPrior,
                          SynthesisTransform)
-
-
-def _softplus_scale(log_scale):
-    return jax.nn.softplus(log_scale) + 1e-7
 
 
 class Large1LevelVAE(nn.Module):
@@ -49,6 +46,7 @@ class Large1LevelVAE(nn.Module):
 
     def rec_forward(self, images, seed):
         B, H, W, _ = images.shape
+        assert B == 1, "rec_forward expects batch size 1"
         post, prior = self._dists(images, B, H, W)
         post1 = GaussianParams(post.loc[0], post.scale[0])
         prior1 = GaussianParams(prior.loc[0], prior.scale[0])

@@ -16,13 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from ...coding.gauss import GaussianParams, kl_divergence
+from .transforms import softplus_scale as _softplus_scale
 from .transforms import (AnalysisTransform, EmpiricalPrior,
                          HyperAnalysisTransform, HyperSynthesisTransform,
                          SynthesisTransform)
-
-
-def _softplus_scale(log_scale):
-    return jax.nn.softplus(log_scale) + 1e-7
 
 
 class Large2LevelVAE(nn.Module):
@@ -91,6 +88,7 @@ class Large2LevelVAE(nn.Module):
     def rec_forward(self, images, seed):
         """Code z2 then z1 with the external coder (ref :320-404)."""
         B, H, W, _ = images.shape
+        assert B == 1, "rec_forward expects batch size 1"
         l2_post, l1_loc, l1_log_scale = self._level2_posterior(images)
         l2_prior = self._level2_prior(B, H, W)
         l2_post1 = GaussianParams(l2_post.loc[0], l2_post.scale[0])

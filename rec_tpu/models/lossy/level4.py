@@ -21,23 +21,9 @@ import jax
 import jax.numpy as jnp
 
 from ...coding.gauss import GaussianParams, kl_divergence
-from ..modules import GDN, SignalConv2D
-
-
-def _sp(x):
-    return jax.nn.softplus(x) + 1e-7
-
-
-def _down(features, kernel, stride, name, dft=True):
-    return SignalConv2D(features=features, kernel=kernel, corr=True,
-                        strides_down=stride, padding="reflect",
-                        dft_parametrization=dft, name=name)
-
-
-def _up(features, kernel, stride, name, dft=True):
-    return SignalConv2D(features=features, kernel=kernel, corr=False,
-                        strides_up=stride, padding="reflect",
-                        dft_parametrization=dft, name=name)
+from ..modules import GDN
+from .transforms import EmpiricalPrior, _down, _up
+from .transforms import softplus_scale as _sp
 
 
 class _Analysis(nn.Module):
@@ -132,22 +118,6 @@ class _HyperSynthesis(nn.Module):
         return loc, log_scale, feats
 
 
-class _EmpiricalHyperPrior(nn.Module):
-    """(ref :542-591)"""
-
-    num_filters: int
-
-    @nn.compact
-    def __call__(self, batch, height, width):
-        base = self.param("prior_base", nn.initializers.zeros,
-                          (self.num_filters,))
-        t = jnp.broadcast_to(base, (batch, height, width, self.num_filters))
-        t = jax.nn.elu(_down(self.num_filters, (3, 3), 1, "conv_0")(t))
-        loc = _down(self.num_filters, (3, 3), 1, "loc_head")(t)
-        log_scale = _down(self.num_filters, (3, 3), 1, "log_scale_head")(t)
-        return loc, log_scale, t
-
-
 class _Combiner(nn.Module):
     features: int
 
@@ -176,7 +146,7 @@ class Large4LevelVAE(nn.Module):
         self.ext_hyper_analysis = _SameResStack(f4, f4, inverse=False,
                                                 with_features=False)
         self.ext_hyper_synthesis = _SameResStack(f4, f3, inverse=True)
-        self.hyper_prior = _EmpiricalHyperPrior(f4)
+        self.hyper_prior = EmpiricalPrior(f4, return_features=True)
 
         self.in_to_1 = _down(f1, (9, 9), 8, "inputs_to_level_1_connector")
         self.in_to_2 = nn.Conv(f2, (1, 1), name="inputs_to_level_2_connector")
@@ -279,6 +249,7 @@ class Large4LevelVAE(nn.Module):
         """Full REC compression — implements what the reference stubs
         (ref large_4_level_vae.py:989-990)."""
         B, H, W, _ = images.shape
+        assert B == 1, "rec_forward expects batch size 1"
         infer_stats = self._inference_stats(images)
         codes = {}
 

@@ -12,6 +12,12 @@ import jax.numpy as jnp
 from ..modules import GDN, SignalConv2D
 
 
+def softplus_scale(log_scale):
+    """Positive scale with the reference's 1e-7 floor (shared by all lossy
+    models; ref large_2_level_vae.py:337 etc.)."""
+    return jax.nn.softplus(log_scale) + 1e-7
+
+
 def _down(features, kernel, stride, name, use_bias=True, dft=True):
     return SignalConv2D(features=features, kernel=kernel, corr=True,
                         strides_down=stride, padding="reflect",
@@ -110,9 +116,12 @@ class HyperSynthesisTransform(nn.Module):
 class EmpiricalPrior(nn.Module):
     """Learned spatially-constant empirical-Bayes prior: a (1,1,1,F) base
     tiled to the latent grid, then conv + elu + stat heads
-    (ref large_2_level_vae.py:263-313, large_1_level_vae.py:125-155)."""
+    (ref large_2_level_vae.py:263-313, large_1_level_vae.py:125-155).
+    ``return_features=True`` also yields the elu'd features (the 4-level
+    model's EmpiricalHyperPrior shape, ref large_4_level_vae.py:542-591)."""
 
     num_filters: int
+    return_features: bool = False
 
     @nn.compact
     def __call__(self, batch, height, width):
@@ -124,4 +133,6 @@ class EmpiricalPrior(nn.Module):
         loc = _down(self.num_filters, (3, 3), 1, "prior_loc_head")(t)
         log_scale = _down(self.num_filters, (3, 3), 1,
                           "prior_log_scale_head")(t)
+        if self.return_features:
+            return loc, log_scale, t
         return loc, log_scale

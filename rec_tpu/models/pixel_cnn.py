@@ -40,9 +40,13 @@ class PixelCNNResidualBlock(nn.Module):
 
 
 class PixelCNN(nn.Module):
-    """Full autoregressive density model over images in [-0.5, 0.5]."""
+    """Full autoregressive density model over images in [-0.5, 0.5].
 
-    filters: int = 64
+    ``filters`` must be divisible by the image channel count (the AR masks
+    partition features into channel groups); 60 divides 1..6 channels.
+    """
+
+    filters: int = 60
     num_residual_blocks: int = 5
 
     @nn.compact
@@ -50,16 +54,24 @@ class PixelCNN(nn.Module):
         """Returns (loc, log_scale) of a per-pixel conditional discretized
         logistic; loc is a residual correction around 0."""
         in_ch = x.shape[-1]
+        if self.filters % in_ch != 0:
+            raise ValueError(
+                f"PixelCNN filters ({self.filters}) must be divisible by "
+                f"the channel count ({in_ch}) for the autoregressive masks")
         t = ReparameterizedConv2D(features=self.filters, kernel_size=(7, 7),
                                   mask="a", name="first_conv")(x)
         for i in range(self.num_residual_blocks):
             t = PixelCNNResidualBlock(filters=self.filters // 2,
                                       name=f"res_block_{i}")(t)
         t = jax.nn.elu(t)
+        # Output heads are mask "b": output channel i reads only feature
+        # groups <= i, which (after the mask-"a" first layer) carry
+        # information about input channels < i — without the mask every
+        # channel's density would condition on the pixel's own value.
         loc = ReparameterizedConv2D(features=in_ch, kernel_size=(1, 1),
-                                    name="loc_head")(t)
+                                    mask="b", name="loc_head")(t)
         log_scale = ReparameterizedConv2D(features=in_ch, kernel_size=(1, 1),
-                                          name="log_scale_head")(t)
+                                          mask="b", name="log_scale_head")(t)
         return jnp.tanh(loc) * 0.5, jnp.clip(log_scale, -7.0, 2.0)
 
     def log_likelihood(self, x):
@@ -68,27 +80,32 @@ class PixelCNN(nn.Module):
 
     def sample(self, key, shape: Tuple[int, int, int]):
         """Autoregressive sampling in the mask's AR order (bottom-to-top,
-        right-to-left — see tests/test_modules.py::test_ar_mask_causality).
-        O(H*W) forward passes via scan; fine for small images."""
+        right-to-left, channel-by-channel — see
+        tests/test_modules.py::test_ar_mask_causality).  O(H*W*C) forward
+        passes via scan; fine for small images.  One channel per step:
+        channel k's conditional depends on the already-sampled channels < k
+        of the same pixel."""
         H, W, C = shape
 
         def step(carry, idx):
             img, key = carry
             key, sub = jax.random.split(key)
             loc, log_scale = self(img[None])
-            u = jax.random.uniform(sub, (C,), minval=1e-5, maxval=1 - 1e-5)
-            # Logistic sample, then bin to the 1/256 grid.
+            u = jax.random.uniform(sub, (), minval=1e-5, maxval=1 - 1e-5)
             val = loc[0] + jnp.exp(log_scale[0]) * (jnp.log(u)
                                                     - jnp.log1p(-u))
             val = jnp.clip(jnp.floor((val + 0.5) * 256.0) / 256.0 - 0.5,
                            -0.5, 0.5 - 1.0 / 256.0)
-            # AR order: row r from H-1 down, column c from W-1 down.
-            r = H - 1 - idx // W
-            c = W - 1 - idx % W
-            img = img.at[r, c].set(val[r, c])
+            # AR order: row r from H-1 down, column c from W-1 down, then
+            # channel k ascending within the pixel.
+            pix = idx // C
+            k = idx % C
+            r = H - 1 - pix // W
+            c = W - 1 - pix % W
+            img = img.at[r, c, k].set(val[r, c, k])
             return (img, key), None
 
         (img, _), _ = jax.lax.scan(
             step, (jnp.zeros((H, W, C)), key),
-            jnp.arange(H * W))
+            jnp.arange(H * W * C))
         return img

@@ -289,6 +289,9 @@ class BidirectionalResNetVAE(nn.Module):
         reconstruction, and per-block KLs (ref resnet_vae.py:803-836)."""
         cfg = self.cfg
         B, H, W, _ = image.shape
+        assert B == 1, ("compress expects batch size 1 (ref coder.py:494-495);"
+                        " use parallel.batch.make_batch_compress for"
+                        " multi-image encoding")
         infer_outs = self._infer(image)
         # Distinct coding seed per res block (decoder replicates).
         seeds = seed + 7919 * jnp.arange(cfg.num_res_blocks)

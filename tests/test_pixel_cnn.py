@@ -43,3 +43,23 @@ def test_sampling():
                       method=model.sample)
     assert img.shape == (6, 6, 1)
     assert float(img.min()) >= -0.5 and float(img.max()) <= 0.5
+
+
+def test_channel_autoregressive_property():
+    """Multi-channel: channel k's output must not depend on the pixel's own
+    channels >= k (review finding: unmasked heads leaked same-pixel
+    channels into their own densities)."""
+    model = PixelCNN(filters=12, num_residual_blocks=1)
+    x = jnp.zeros((1, 5, 5, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    loc0, _ = model.apply(params, x)
+    # Perturb channel 1 of pixel (2,2): outputs for channels 0 and 1 at that
+    # pixel must be unchanged; channel 2 may change.
+    x2 = x.at[0, 2, 2, 1].set(1.0)
+    loc1, _ = model.apply(params, x2)
+    delta = np.asarray(jnp.abs(loc1 - loc0))[0, 2, 2]
+    assert delta[0] == 0.0 and delta[1] == 0.0
+    # Perturbing channel 0 must leave channel 0's own density unchanged.
+    x3 = x.at[0, 2, 2, 0].set(1.0)
+    loc2, _ = model.apply(params, x3)
+    assert np.asarray(jnp.abs(loc2 - loc0))[0, 2, 2, 0] == 0.0
