@@ -34,6 +34,7 @@ from .gauss import (GaussianParams, auxiliary_target, kl_divergence,
                     log_density_ratio)
 from .importance import tree_where
 from .partition import aux_variance_ratio, num_partitions
+from .utils import pin
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +65,18 @@ class BeamSearchConfig:
     # toolchain (>10 min vs ~1 min for the scan) — enable for long-lived
     # serving processes where the compile amortizes.
     dynamic_early_exit: bool = False
+    # TPU-first variant: all beams share ONE candidate pool of S rows per
+    # partition (stream address = (step, candidate), no history hash) instead
+    # of the reference's per-beam history-hash streams
+    # (ref beam_search_coder.py:33-51).  Cuts candidate generation — the
+    # measured encode bottleneck (threefry+erfinv on the VPU, see PERF.md) —
+    # by a factor of B, and the expanded quadratic score becomes a
+    # (B, D) @ (D, S) contraction on the MXU.  Search diversity is
+    # preserved: the top-k still ranges over B parents x S candidates, and
+    # combined samples differ through the parents.  Changes the stream
+    # contract, so encode and decode must agree on this flag (it is part of
+    # the coder config, like n_beams).
+    shared_pool: bool = False
 
     @property
     def n_samples(self) -> int:
@@ -112,7 +125,14 @@ def _candidate_rows(keys, dim, dtype=jnp.float32):
 def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
                  coder: GaussianParams, block_key,
                  ratios: Optional[jnp.ndarray] = None) -> BeamCodedBlock:
-    """Beam-search encode of one latent block (ref beam_search_coder.py:452-521)."""
+    """Beam-search encode of one latent block (ref beam_search_coder.py:452-521).
+
+    Contract note: the returned ``sample`` is the encoder-carried beam sum,
+    which may differ from the pinned decode replay by float-fusion ULPs.
+    Bit-exact consumers (the public ``Coder.encode``, the parallel codec, the
+    models) must report ``decode_block(...)`` of the returned indices instead
+    — the encoder embeds the decoder.
+    """
     D = target.loc.shape[-1]
     B, S, P = cfg.n_beams, cfg.n_samples, cfg.max_partitions
 
@@ -134,8 +154,33 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
         cum_coder = GaussianParams(jnp.zeros((D,), beams.dtype), cum_scale)
 
         skey = rng.step_key(block_key, t)
-        cand_keys = _candidate_keys(cfg, skey, hashes)            # (B, S) keys
-        if _use_fused(cfg):
+        if cfg.shared_pool:
+            # One pool of S candidate rows shared by all beams.  The
+            # expanded quadratic  score(b,s) = sum_d qa x^2 + qb x + qc,
+            # x = beams(b,d) + aux_scale(d) * eps(s,d), separates into a
+            # per-beam constant, a (B,D)@(D,S) cross term (MXU), and a
+            # per-candidate term — no (B,S,D) tensor is ever materialized
+            # and only S*D normals are generated (vs B*S*D).
+            from ..ops.beam_score import _quadratic_coeffs
+
+            pkey = rng.pool_key(skey)
+            pool_keys = jax.vmap(lambda s: rng.candidate_key(pkey, s))(
+                jnp.arange(S))
+            eps_pool = _candidate_rows(pool_keys, D)              # (S, D) f32
+            qa, qb, qc_sum = _quadratic_coeffs(aux_t, cum_coder)
+            sdt = jnp.dtype(cfg.score_dtype)
+            const_b = jnp.sum((qa * beams + qb) * beams, axis=-1) + qc_sum
+            c1 = ((2.0 * qa * beams + qb) * aux_scale).astype(sdt)
+            c2 = (qa * jnp.square(aux_scale)).astype(sdt)
+            eps_lp = eps_pool.astype(sdt)
+            cross = jnp.einsum("bd,sd->bs", c1, eps_lp,
+                               preferred_element_type=jnp.float32)
+            e2 = jnp.einsum("d,sd->s", c2, jnp.square(eps_lp),
+                            preferred_element_type=jnp.float32)
+            scores = const_b[:, None] + cross + e2[None, :]
+            cand_keys = None
+        elif _use_fused(cfg):
+            cand_keys = _candidate_keys(cfg, skey, hashes)        # (B, S) keys
             from ..ops.beam_score import _quadratic_coeffs
             from ..ops.fused_beam_step import fused_candidate_scores
 
@@ -145,6 +190,7 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
                 ckd.astype(jnp.uint32), beams, aux_scale, qa, qb, qc,
                 S=S, D=D)
         else:
+            cand_keys = _candidate_keys(cfg, skey, hashes)        # (B, S) keys
             # Scoring runs in reduced precision: generate f32 and cast (the
             # scored value must be the ROUNDING of the f32 sample the
             # decoder regenerates); the cast fuses into the reduction so no
@@ -168,9 +214,12 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
         parent = flat // S
         cand = (flat % S).astype(jnp.int32)
 
-        # Regenerate only the B winning rows in f32 (per-candidate keys).
-        winner_keys = cand_keys[parent, cand]                     # (B, 2)
-        winner_eps = _candidate_rows(winner_keys, D)              # (B, D)
+        if cfg.shared_pool:
+            winner_eps = eps_pool[cand]                           # (B, D) f32
+        else:
+            # Regenerate only the B winning rows in f32 (per-candidate keys).
+            winner_keys = cand_keys[parent, cand]                 # (B, 2)
+            winner_eps = _candidate_rows(winner_keys, D)          # (B, D)
         new_beams = beams[parent] + aux_scale * winner_eps
         new_hashes = rng.fnv_step(hashes[parent], cand)
         new_beam_indices = beam_indices[parent].at[:, t].set(cand)
@@ -214,17 +263,23 @@ def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
     def step(carry, t):
         sample, h, cum_var = carry
         i = count - 1 - t
-        ratio = aux_variance_ratio(i, ratios)
-        aux_var = ratio * jnp.maximum(p_var - cum_var, 0.0)
-        aux_scale = jnp.sqrt(aux_var)
+        # Every float op on this chain is pinned (utils.pin) so the replay
+        # compiles to the identical island in the standalone decoder, the
+        # encoder's embedded replay, and the models' in-graph passes.
+        ratio = pin(aux_variance_ratio(i, ratios))
+        aux_var = pin(ratio * jnp.maximum(p_var - cum_var, 0.0))
+        aux_scale = pin(jnp.sqrt(aux_var))
 
         skey = rng.step_key(block_key, t)
         idx = indices[t]
         # Regenerate exactly one candidate row from its per-candidate key —
         # O(D) instead of O(S*D) per partition.
-        key = rng.candidate_key(rng.beam_stream_key(skey, h), idx)
-        eps = jax.random.normal(key, (D,))
-        new_sample = sample + aux_scale * eps
+        if cfg.shared_pool:
+            key = rng.candidate_key(rng.pool_key(skey), idx)
+        else:
+            key = rng.candidate_key(rng.beam_stream_key(skey, h), idx)
+        eps = pin(jax.random.normal(key, (D,)))
+        new_sample = sample + pin(aux_scale * eps)
         new_h = rng.fnv_step(h, idx)
 
         carry = tree_where(t < count,

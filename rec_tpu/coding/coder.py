@@ -152,6 +152,11 @@ class BeamSearchCoder(_BlockCoder):
     max_partitions: int = 24
     use_fused_kernel: bool = False
     dynamic_early_exit: bool = False
+    # Fast serving mode: one shared candidate pool per partition (B x less
+    # candidate generation, MXU-matmul scoring) at a measured sample-quality
+    # cost — see beam_search.BeamSearchConfig.shared_pool.  Part of the
+    # stream contract: encode and decode must agree on it.
+    shared_pool: bool = False
     aux_variance_ratios: Optional[tuple] = None
 
     def _cfg(self):
@@ -161,7 +166,8 @@ class BeamSearchCoder(_BlockCoder):
             extra_samples=self.extra_samples,
             max_partitions=self.max_partitions,
             use_fused_kernel=self.use_fused_kernel,
-            dynamic_early_exit=self.dynamic_early_exit)
+            dynamic_early_exit=self.dynamic_early_exit,
+            shared_pool=self.shared_pool)
 
     @property
     def n_samples(self) -> int:

@@ -25,6 +25,7 @@ from .gauss import (GaussianParams, auxiliary_target, conditional_coder,
                     conditional_target, kl_divergence, log_density_ratio,
                     standard_normal_like)
 from .partition import aux_variance_ratio, num_partitions
+from .utils import pin
 
 
 def tree_where(pred, new, old):
@@ -217,11 +218,18 @@ def decode_block(cfg: ImportanceCoderConfig, coder: GaussianParams,
 
     def step(cod, t):
         i = count - 1 - t
-        ratio = aux_variance_ratio(i, ratios)
-        aux_var = ratio * cod.var
-        aux_scale = jnp.sqrt(aux_var)
-        eps = _regen_candidate(cfg, rng.step_key(block_key, t), indices[t], D)
-        new_cod = conditional_coder(cod, aux_var, aux_scale * eps)
+        # The replay chain is pinned op-by-op (utils.pin) so it compiles to
+        # the identical island in every embedding program; notably the
+        # sqrt->square round trip through the carried scale would otherwise
+        # invite algebraic rewrites that differ between encoder-embedded and
+        # standalone decode graphs.
+        ratio = pin(aux_variance_ratio(i, ratios))
+        aux_var = pin(ratio * pin(cod.var))
+        aux_scale = pin(jnp.sqrt(aux_var))
+        eps = pin(_regen_candidate(cfg, rng.step_key(block_key, t),
+                                   indices[t], D))
+        new_cod = conditional_coder(cod, aux_var, pin(aux_scale * eps))
+        new_cod = GaussianParams(new_cod.loc, pin(new_cod.scale))
         return tree_where(t < count, new_cod, cod), None
 
     if cfg.dynamic_early_exit:

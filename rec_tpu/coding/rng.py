@@ -34,6 +34,7 @@ import jax.numpy as jnp
 SPLIT_TAG = 0x51137  # split permutation
 BLOCK_TAG = 0xb10c  # latent-block subtree
 MODEL_TAG = 0x30de1  # model-side sampling (training-time posterior samples)
+POOL_TAG = 0x900d  # shared per-partition candidate pool (beam shared_pool)
 
 FNV_OFFSET = jnp.uint32(2166136261)
 FNV_PRIME = jnp.uint32(16777619)
@@ -58,6 +59,14 @@ def step_key(bkey: jax.Array, step) -> jax.Array:
 
 def beam_stream_key(skey: jax.Array, history_hash) -> jax.Array:
     return jax.random.fold_in(skey, history_hash.astype(jnp.uint32))
+
+
+def pool_key(skey: jax.Array) -> jax.Array:
+    """Per-partition shared candidate pool subtree (beam shared_pool=True):
+    all beams draw from ONE pool of S candidate rows per partition, so the
+    stream address is (step, candidate) with no history hash.  Tagged so the
+    pool namespace is disjoint from the per-beam ``beam_stream_key`` folds."""
+    return jax.random.fold_in(skey, POOL_TAG)
 
 
 def candidate_key(beam_key: jax.Array, candidate_idx) -> jax.Array:

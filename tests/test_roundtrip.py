@@ -116,6 +116,96 @@ class TestGaussianCoderRoundTrip:
                                       np.asarray(decoded))
 
 
+class TestProductionSizeRoundTrip:
+    """Bit-exactness at the paper's production settings (B=20, S=36,
+    block_size=1000).  Small-D tests compile encode and decode to programs
+    that happen to agree; at D=1000 XLA fuses the two programs' float chains
+    differently, and only the pinned replay (coding/utils.pin) + the
+    encoder-embeds-decoder construction keep them bit-identical.  This is a
+    regression test for exactly that failure (1-ULP drift at D=1000 that
+    silently corrupts the lossless residual path)."""
+
+    SHAPE = (4, 4, 130)  # 2080 dims -> 3 blocks of 1000 (padded tail)
+
+    def test_beam_paper_settings(self):
+        target, coder = _random_latent(21, shape=self.SHAPE, kl_scale=0.22)
+        bsc = BeamSearchCoder(kl_per_partition=3.0, n_beams=20,
+                              extra_samples=1.2, block_size=1000,
+                              max_partitions=24)
+        coded = bsc.encode(target, coder, seed=97)
+        decoded = bsc.decode(coder, coded.indices, coded.counts, seed=97)
+        np.testing.assert_array_equal(np.asarray(coded.sample),
+                                      np.asarray(decoded))
+
+    def test_importance_production(self):
+        target, coder = _random_latent(22, shape=self.SHAPE, kl_scale=0.22)
+        gc = GaussianCoder(kl_per_partition=3.0, coding_bits=12,
+                           block_size=1000, max_partitions=24)
+        coded = gc.encode(target, coder, seed=98)
+        decoded = gc.decode(coder, coded.indices, coded.counts, seed=98)
+        np.testing.assert_array_equal(np.asarray(coded.sample),
+                                      np.asarray(decoded))
+
+    def test_decode_stable_inside_larger_program(self):
+        """The pinned replay must produce identical bits when the decode is
+        embedded in a bigger jitted program (the models' in-graph passes)."""
+        target, coder = _random_latent(23, shape=self.SHAPE, kl_scale=0.22)
+        bsc = BeamSearchCoder(kl_per_partition=3.0, n_beams=20,
+                              extra_samples=1.2, block_size=1000,
+                              max_partitions=24)
+        coded = bsc.encode(target, coder, seed=99)
+        plain = bsc.decode(coder, coded.indices, coded.counts, seed=99)
+        embedded = jax.jit(
+            lambda i, n: jnp.tanh(
+                bsc.decode(coder, i, n, seed=99) * 1.0001))(
+                    coded.indices, coded.counts)
+        np.testing.assert_array_equal(
+            np.asarray(embedded),
+            np.asarray(jnp.tanh(plain * 1.0001)))
+
+
+class TestSharedPool:
+    """The shared-candidate-pool fast mode (beam_search shared_pool=True):
+    B x less candidate generation, MXU-matmul scoring, distinct stream
+    contract."""
+
+    def test_roundtrip(self):
+        target, coder = _random_latent(31, shape=(4, 4, 130), kl_scale=0.22)
+        bsc = BeamSearchCoder(kl_per_partition=3.0, n_beams=20,
+                              extra_samples=1.2, block_size=1000,
+                              max_partitions=24, shared_pool=True)
+        coded = bsc.encode(target, coder, seed=55)
+        decoded = bsc.decode(coder, coded.indices, coded.counts, seed=55)
+        np.testing.assert_array_equal(np.asarray(coded.sample),
+                                      np.asarray(decoded))
+
+    def test_sample_quality(self):
+        """Shared-pool samples trade some quality for speed but must still
+        look like target samples (positive mean log density ratio)."""
+        bsc = BeamSearchCoder(kl_per_partition=3.0, n_beams=8,
+                              extra_samples=1.5, block_size=None,
+                              max_partitions=16, shared_pool=True)
+        ratios = []
+        for seed in range(5):
+            target, coder = _random_latent(seed, shape=(24,), kl_scale=0.3)
+            coded = bsc.encode(target, coder, seed=seed)
+            lr = jnp.sum(target.log_prob(coded.sample)
+                         - coder.log_prob(coded.sample))
+            ratios.append(float(lr))
+        assert np.mean(ratios) > 0.0
+
+    def test_distinct_stream_contract(self):
+        """shared_pool is part of the stream contract: its indices are drawn
+        from different streams than the per-beam mode's."""
+        target, coder = _random_latent(32, shape=(40,), kl_scale=0.35)
+        base = dict(kl_per_partition=3.0, n_beams=8, extra_samples=1.2,
+                    block_size=None, max_partitions=16)
+        a = BeamSearchCoder(**base).encode(target, coder, seed=7)
+        b = BeamSearchCoder(shared_pool=True, **base).encode(
+            target, coder, seed=7)
+        assert not np.array_equal(np.asarray(a.sample), np.asarray(b.sample))
+
+
 class TestDeterminism:
     def test_vmapped_stream_equals_scalar_stream(self):
         """The vmap'd per-beam candidate generation must equal per-key calls:
