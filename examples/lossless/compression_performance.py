@@ -253,100 +253,99 @@ def main(argv):
 
 def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
                   decompress):
-    if True:
-        x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
-        h, w = x.shape[1:3]
-        num_dims = float(np.prod(x.shape[1:]))
-        seed = cfg.seed + i
+    x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
+    h, w = x.shape[1:3]
+    num_dims = float(np.prod(x.shape[1:]))
+    seed = cfg.seed + i
 
-        # Ideal pass: ELBO metrics (ref :321-342).
-        out = forward(params, x, jax.random.PRNGKey(seed))
-        ideal_elbo_bpd = float(
-            (-jnp.mean(out["log_likelihood"])
-             + jnp.sum(jnp.mean(out["analytic_kl"], axis=1)))
-            / (num_dims * LOG2))
+    # Ideal pass: ELBO metrics (ref :321-342).
+    out = forward(params, x, jax.random.PRNGKey(seed))
+    ideal_elbo_bpd = float(
+        (-jnp.mean(out["log_likelihood"])
+         + jnp.sum(jnp.mean(out["analytic_kl"], axis=1)))
+        / (num_dims * LOG2))
 
-        t0 = time.time()
-        comp = jax.block_until_ready(compress(params, x, seed))
-        comp_time = time.time() - t0
+    t0 = time.time()
+    comp = jax.block_until_ready(compress(params, x, seed))
+    comp_time = time.time() - t0
 
-        rec_path = os.path.join(cfg.output_dir, f"img_{i}.rec")
-        latents = [(np.asarray(comp["indices"][b]),
-                    np.asarray(comp["counts"][b]))
-                   for b in range(cfg.model_cfg.num_res_blocks)]
-        max_index = (coder.n_samples if cfg.sampler == "beam_search"
-                     else 1 << cfg.coding_bits)
+    rec_path = os.path.join(cfg.output_dir, f"img_{i}.rec")
+    latents = [(np.asarray(comp["indices"][b]),
+                np.asarray(comp["counts"][b]))
+               for b in range(cfg.model_cfg.num_res_blocks)]
+    max_index = (coder.n_samples if cfg.sampler == "beam_search"
+                 else 1 << cfg.coding_bits)
 
-        residual = None
-        scale = float(jnp.exp(params["params"]["likelihood_log_scale"]))
-        if cfg.true_lossless:
-            # Score the residual against the decode replay's reconstruction
-            # (encoder embeds decoder), then the file alone is lossless.
-            from rec_tpu.io.residual import encode_residual
+    residual = None
+    scale = float(jnp.exp(params["params"]["likelihood_log_scale"]))
+    if cfg.true_lossless:
+        # Score the residual against the decode replay's reconstruction
+        # (encoder embeds decoder), then the file alone is lossless.
+        from rec_tpu.io.residual import encode_residual
 
-            dec_recon = decompress(
-                params, (h, w),
-                jnp.stack([jnp.asarray(a) for a, _ in latents]),
-                jnp.stack([jnp.asarray(c) for _, c in latents]), seed)
-            residual, _ = encode_residual(np.asarray(x[0]) + 0.5,
-                                          np.asarray(dec_recon[0]), scale)
+        dec_recon = decompress(
+            params, (h, w),
+            jnp.stack([jnp.asarray(a) for a, _ in latents]),
+            jnp.stack([jnp.asarray(c) for _, c in latents]), seed)
+        residual, _ = encode_residual(np.asarray(x[0]) + 0.5,
+                                      np.asarray(dec_recon[0]), scale)
 
-        nbytes = write_rec(rec_path, seed=seed, image_shape=(h, w, 3),
-                           block_size=cfg.block_size, max_index=max_index,
-                           latents=latents, residual=residual)
+    nbytes = write_rec(rec_path, seed=seed, image_shape=(h, w, 3),
+                       block_size=cfg.block_size, max_index=max_index,
+                       latents=latents, residual=residual)
 
-        # Read back + index round-trip assertion (ref :369-373).
-        rseed, _, _, latents2, residual2 = read_rec(
-            rec_path, max_partitions=cfg.max_partitions, with_residual=True)
-        ok = all(np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
-                 for a, b in zip(latents, latents2))
-        assert ok, "index round trip failed"
+    # Read back + index round-trip assertion (ref :369-373).
+    rseed, _, _, latents2, residual2 = read_rec(
+        rec_path, max_partitions=cfg.max_partitions, with_residual=True)
+    ok = all(np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+             for a, b in zip(latents, latents2))
+    assert ok, "index round trip failed"
 
-        ind = jnp.stack([jnp.asarray(a) for a, _ in latents2])
-        cnt = jnp.stack([jnp.asarray(c) for _, c in latents2])
-        t0 = time.time()
-        recon = jax.block_until_ready(
-            decompress(params, (h, w), ind, cnt, rseed))
-        decomp_time = time.time() - t0
+    ind = jnp.stack([jnp.asarray(a) for a, _ in latents2])
+    cnt = jnp.stack([jnp.asarray(c) for _, c in latents2])
+    t0 = time.time()
+    recon = jax.block_until_ready(
+        decompress(params, (h, w), ind, cnt, rseed))
+    decomp_time = time.time() - t0
 
-        # Residual bits: actual coded bits when true_lossless, else the
-        # reference's implicit -log2 likelihood count (SURVEY.md §0).
-        if residual is not None:
-            from rec_tpu.io.residual import decode_residual, quantize
+    # Residual bits: actual coded bits when true_lossless, else the
+    # reference's implicit -log2 likelihood count (SURVEY.md §0).
+    if residual is not None:
+        from rec_tpu.io.residual import decode_residual, quantize
 
-            out01 = decode_residual(residual2, np.asarray(recon[0]), scale)
-            assert np.array_equal(quantize(out01),
-                                  quantize(np.asarray(x[0]) + 0.5)), \
-                "lossless pixel recovery failed"
-            residual_bits = len(residual2) * 8.0
-        else:
-            from rec_tpu.models.likelihoods import discretized_logistic
+        out01 = decode_residual(residual2, np.asarray(recon[0]), scale)
+        assert np.array_equal(quantize(out01),
+                              quantize(np.asarray(x[0]) + 0.5)), \
+            "lossless pixel recovery failed"
+        residual_bits = len(residual2) * 8.0
+    else:
+        from rec_tpu.models.likelihoods import discretized_logistic
 
-            residual_bits = float(-discretized_logistic(
-                x, recon - 0.5, scale)[0] / LOG2)
-        from rec_tpu.coding import CodedLatent
+        residual_bits = float(-discretized_logistic(
+            x, recon - 0.5, scale)[0] / LOG2)
+    from rec_tpu.coding import CodedLatent
 
-        latent_bits = float(coder.codelength_nats(
-            CodedLatent(ind, cnt, None)) / LOG2)
-        total_bpd = (latent_bits + residual_bits) / num_dims
-        p = float(psnr(x + 0.5, recon)[0])
+    latent_bits = float(coder.codelength_nats(
+        CodedLatent(ind, cnt, None)) / LOG2)
+    total_bpd = (latent_bits + residual_bits) / num_dims
+    p = float(psnr(x + 0.5, recon)[0])
 
-        row = dict(index=i, width=w, height=h, seed=seed,
-                   total_kl=float(jnp.sum(comp["kl"])),
-                   ideal_elbo_bpd=ideal_elbo_bpd,
-                   latent_code_bits=latent_bits,
-                   file_bits=nbytes * 8,
-                   total_bits_per_dim=total_bpd,
-                   residual_bits=residual_bits,
-                   psnr=p, comp_time=comp_time,
-                   decomp_time=decomp_time, roundtrip_ok=ok)
-        log.info(f"image {i}: kl={row['total_kl']:.0f} "
-                 f"bpd={total_bpd:.3f} ideal={ideal_elbo_bpd:.3f} "
-                 f"comp={comp_time:.2f}s ok={ok}")
-        if cfg.save_reconstructions:
-            write_png(os.path.join(cfg.output_dir, f"recon_{i}.png"),
-                      np.asarray(recon[0]))
-        return row
+    row = dict(index=i, width=w, height=h, seed=seed,
+               total_kl=float(jnp.sum(comp["kl"])),
+               ideal_elbo_bpd=ideal_elbo_bpd,
+               latent_code_bits=latent_bits,
+               file_bits=nbytes * 8,
+               total_bits_per_dim=total_bpd,
+               residual_bits=residual_bits,
+               psnr=p, comp_time=comp_time,
+               decomp_time=decomp_time, roundtrip_ok=ok)
+    log.info(f"image {i}: kl={row['total_kl']:.0f} "
+             f"bpd={total_bpd:.3f} ideal={ideal_elbo_bpd:.3f} "
+             f"comp={comp_time:.2f}s ok={ok}")
+    if cfg.save_reconstructions:
+        write_png(os.path.join(cfg.output_dir, f"recon_{i}.png"),
+                  np.asarray(recon[0]))
+    return row
 
 
 if __name__ == "__main__":

@@ -237,16 +237,23 @@ def rejection_sample(cfg: RejectionSamplerConfig, std_target: GaussianParams,
     done, _, index, sample = jax.lax.while_loop(
         spill_cond, spill_round,
         (found, jnp.asarray(n_rounds, jnp.int32), index, sample))
-    return RejectionCodedSample(index.astype(jnp.int32), sample, done)
+    # Encoder embeds decoder: report the decode replay of the accepted index
+    # (the pinned regen below), not the scan-carried row — same discipline as
+    # the beam/importance coders (see coding/utils.pin).
+    replay = decode_rejection_sample(cfg, key, index, D)
+    return RejectionCodedSample(index.astype(jnp.int32), replay, done)
 
 
 def decode_rejection_sample(cfg: RejectionSamplerConfig, key, index,
                             dim: int) -> jnp.ndarray:
     """index -> proposal: regenerate round index//buffer, pick index%buffer
-    (ref samplers.py:171-177)."""
+    (ref samplers.py:171-177).  The row is pinned so the replay is
+    bit-identical in every embedding program."""
+    from .utils import pin
+
     buf = cfg.sample_buffer_size
     eps = rng.normal_stream(jax.random.fold_in(key, index // buf), (buf, dim))
-    return eps[index % buf]
+    return pin(eps[index % buf])
 
 
 # ---------------------------------------------------------------------------

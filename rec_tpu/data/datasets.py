@@ -70,12 +70,14 @@ def load_images(cfg: DatasetConfig) -> Tuple[np.ndarray, bool]:
         imgs = _load_png_dir(png_dir)
         if imgs is not None:
             return np.asarray(imgs, np.float32), False
-    # Synthetic fallback: smooth random fields, deterministic per dataset.
-    rs = np.random.RandomState(abs(hash(cfg.dataset)) % (2 ** 31))
+    # Synthetic fallback: smooth random fields, deterministic per dataset
+    # (crc32, not Python hash(), which is salted per process).
+    import zlib
+
+    rs = np.random.RandomState(zlib.crc32(cfg.dataset.encode()) % (2 ** 31))
     n = cfg.synthetic_size
     imgs = rs.rand(n, *shape).astype(np.float32)
     # Blur for spatial correlation so the data is compressible.
-    k = np.ones((1, 5, 5, 1)) / 25.0
     from scipy.ndimage import uniform_filter
 
     imgs = uniform_filter(imgs, size=(1, 5, 5, 1), mode="wrap")

@@ -28,7 +28,7 @@ import numpy as np
 
 from .arithmetic import ArithmeticCoder
 
-_STATIC_HEADER = "IIIIIHHHH"
+_STATIC_HEADER = "<IIIIIHHHH"  # little-endian, no padding: a file format must pin byte order
 STATIC_HEADER_SIZE = struct.calcsize(_STATIC_HEADER)  # 28 bytes
 
 
@@ -109,7 +109,7 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
         image_shape[0], image_shape[1], image_shape[2],
         int(use_custom_nav), int(use_custom_index), num_latents)
     dyn = struct.pack(
-        f"{num_latents}I{num_latents}I{num_latents}I{num_latents}I",
+        f"<{num_latents}I{num_latents}I{num_latents}I{num_latents}I",
         *num_blocks,
         *[len(c) for c in nav_codes],
         *[len(c) for c in index_codes],
@@ -126,7 +126,7 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
             # Optional trailing section (true-lossless residual stream,
             # rec_tpu/io/residual.py): 'R' + u32 length + bytes.  Readers of
             # the base format simply never reach it.
-            f.write(b"R" + struct.pack("I", len(residual)) + residual)
+            f.write(b"R" + struct.pack("<I", len(residual)) + residual)
         return f.tell()
 
 
@@ -144,7 +144,7 @@ def read_rec(file_path: str, *,
         (seed, block_size, max_index, h, w, c, use_custom_nav,
          use_custom_index, num_latents) = struct.unpack(
             _STATIC_HEADER, f.read(STATIC_HEADER_SIZE))
-        dyn_fmt = f"{num_latents}I{num_latents}I{num_latents}I{num_latents}I"
+        dyn_fmt = f"<{num_latents}I{num_latents}I{num_latents}I{num_latents}I"
         dyn = struct.unpack(dyn_fmt, f.read(struct.calcsize(dyn_fmt)))
         num_blocks = dyn[:num_latents]
         nav_lens = dyn[num_latents: 2 * num_latents]
@@ -156,7 +156,7 @@ def read_rec(file_path: str, *,
         residual = None
         tag = f.read(1)
         if tag == b"R":
-            (rlen,) = struct.unpack("I", f.read(4))
+            (rlen,) = struct.unpack("<I", f.read(4))
             residual = f.read(rlen)
 
     if use_custom_index and index_counts is None:

@@ -51,6 +51,9 @@ def make_train_step(model, cfg: LosslessTrainConfig, tx: optax.GradientTransform
         def objective(params):
             log_lik, kld, true_kl, out = loss_fn(params, batch, key)
             bpp = kld / (num_pixels * LOG2)
+            # bits per DIM divides by H*W*C (the reference's README bpd
+            # convention), unlike bpp which is per pixel.
+            num_dims = batch.size // batch.shape[0]
             if cfg.anneal:
                 current_beta = state.beta * jnp.minimum(
                     1.0, state.step / cfg.annealing_end)
@@ -60,7 +63,7 @@ def make_train_step(model, cfg: LosslessTrainConfig, tx: optax.GradientTransform
             aux = {"loss": loss, "nll": -log_lik, "kl": kld,
                    "true_kl": true_kl, "bpp": bpp, "beta": current_beta,
                    "elbo_bpd": (-log_lik + true_kl)
-                   / (num_pixels * LOG2)}
+                   / (num_dims * LOG2)}
             return loss, aux
 
         (loss, metrics), grads = jax.value_and_grad(

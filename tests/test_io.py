@@ -128,3 +128,32 @@ class TestParallelEncodeMany:
             assert nbits == seq_bits and data == seq_data
             np.testing.assert_array_equal(
                 ArithmeticCoder(counts).decode(data, nbits), msg)
+
+
+class TestContainerGolden:
+    def test_golden_bytes(self, tmp_path):
+        """Pin the on-disk .rec format: fixed input -> fixed bytes.  Catches
+        accidental format changes (header layout, endianness, stream packing,
+        AC model defaults).  If a change is INTENTIONAL, update the hash and
+        document the format break."""
+        import hashlib
+
+        rs = np.random.RandomState(11)
+        latents = []
+        for nb in (3, 5):
+            counts = rs.randint(1, 5, size=nb).astype(np.int32)
+            indices = np.zeros((nb, 6), np.int32)
+            for b in range(nb):
+                indices[b, : counts[b]] = rs.randint(0, 20, size=counts[b])
+            latents.append((indices, counts))
+        path = os.path.join(tmp_path, "g.rec")
+        n = write_rec(path, seed=777, image_shape=(16, 16, 3), block_size=32,
+                      max_index=20, latents=latents, residual=b"\x01\x02\x03")
+        data = open(path, "rb").read()
+        assert n == 86
+        # little-endian static header: seed, block_size, max_index, H, W, C,
+        # custom-nav flag, custom-index flag, num_latents
+        assert data[:28].hex() == ("09030000200000001400000010000000"
+                                   "100000000300000000000200")
+        assert hashlib.sha256(data).hexdigest() == (
+            "8e95a15f1995c37eebd6254e88731b6826c771aacff533f71505b00bb7b10360")
