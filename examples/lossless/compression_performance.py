@@ -65,6 +65,9 @@ class Config:
     num_images: int = 10
     pad_multiple: int = 2  # x64 only needed by the /64-downsampling models (ref pads to x64, :311-312)
     seed: int = 42
+    # Grow max_partitions to fit the probed per-block KL (the reference's
+    # dynamic ceil(KL/Omega) has no static budget to overflow).
+    auto_max_partitions: bool = True
     true_lossless: bool = True   # also code the residual stream (beyond the
                                  # reference, which only counts those bits)
     use_ema: bool = True
@@ -122,8 +125,12 @@ def initialize_coder_ratios(cfg: Config, log):
     params, restored = load_params(cfg, model, example)
 
     forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
+    # Size the table well past the eval budget: the fitter only fills the
+    # entries the data actually reaches, and encode-time indices beyond the
+    # table extrapolate by power law (partition.aux_variance_ratio) — but a
+    # fitted entry always beats extrapolation, so fit as deep as the data.
     fitter = RatioFitter(RatioFitConfig(kl_per_partition=cfg.kl_per_partition),
-                         max_partitions=cfg.max_partitions)
+                         max_partitions=max(192, cfg.max_partitions))
     key = jax.random.PRNGKey(cfg.seed)
     for i, img in enumerate(images):
         x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
@@ -220,6 +227,31 @@ def main(argv):
     log.info(f"params restored from checkpoint: {restored}")
 
     forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
+
+    if cfg.auto_max_partitions:
+        # Size the static partition budget to the data, like the reference's
+        # dynamic ceil(KL/Omega) loop (ref coder.py:501): probe the first
+        # image's per-res-block posterior/prior pairs and grow
+        # max_partitions to the max required count (rounded up to 8).  A
+        # too-small budget silently truncates blocks and cascades into a
+        # garbage reconstruction (see the saturation warning below).
+        from rec_tpu.coding.gauss import GaussianParams as GP
+
+        probe = forward(params, example, jax.random.PRNGKey(cfg.seed))
+        need = 1
+        for n in range(cfg.model_cfg.num_res_blocks):
+            p_n = GP(probe["posterior"].loc[n], probe["posterior"].scale[n])
+            c_n = GP(probe["prior"].loc[n], probe["prior"].scale[n])
+            need = max(need, coder.required_partitions(p_n, c_n, cfg.seed))
+        if need > cfg.max_partitions:
+            budget = -(-int(need * 1.25) // 8) * 8  # 25% headroom, x8 round
+            log.warning(
+                f"max_partitions={cfg.max_partitions} < required {need}; "
+                f"auto-sizing to {budget} (disable with "
+                "auto_max_partitions=False)")
+            coder = dataclasses.replace(coder, max_partitions=budget)
+            model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=coder)
+            cfg = dataclasses.replace(cfg, max_partitions=budget)
     compress = jax.jit(
         lambda p, x, s: model.apply(p, x, s, method=model.compress))
     decompress = jax.jit(
@@ -231,7 +263,7 @@ def main(argv):
     fields = ["index", "width", "height", "seed", "total_kl",
               "ideal_elbo_bpd", "latent_code_bits", "file_bits",
               "total_bits_per_dim", "residual_bits", "psnr", "comp_time",
-              "decomp_time", "roundtrip_ok"]
+              "decomp_time", "roundtrip_ok", "saturated_blocks"]
     rows = []
     crashes = 0
     for i, img in enumerate(images):
@@ -268,6 +300,18 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
     t0 = time.time()
     comp = jax.block_until_ready(compress(params, x, seed))
     comp_time = time.time() - t0
+
+    # A block whose count hits the static budget was truncated: its coded
+    # sample is a poor posterior approximation, later blocks' priors are
+    # conditioned on it and diverge, and the residual stream balloons.
+    # Silent truncation reads as "compressed fine" with terrible bpd, so
+    # surface it loudly (cf. ref coder.py:226-230, which raises instead).
+    saturated = int(np.sum(np.asarray(comp["counts"]) == cfg.max_partitions))
+    if saturated:
+        log.warning(
+            f"image {i}: {saturated} latent block(s) hit "
+            f"max_partitions={cfg.max_partitions} — the KL budget is too "
+            f"small for this model; rerun with a larger max_partitions")
 
     rec_path = os.path.join(cfg.output_dir, f"img_{i}.rec")
     latents = [(np.asarray(comp["indices"][b]),
@@ -338,7 +382,8 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
                total_bits_per_dim=total_bpd,
                residual_bits=residual_bits,
                psnr=p, comp_time=comp_time,
-               decomp_time=decomp_time, roundtrip_ok=ok)
+               decomp_time=decomp_time, roundtrip_ok=ok,
+               saturated_blocks=saturated)
     log.info(f"image {i}: kl={row['total_kl']:.0f} "
              f"bpd={total_bpd:.3f} ideal={ideal_elbo_bpd:.3f} "
              f"comp={comp_time:.2f}s ok={ok}")

@@ -33,13 +33,21 @@ def aux_variance_ratio(index, ratios: Optional[jnp.ndarray] = None) -> jnp.ndarr
     """Variance ratio for auxiliary variable ``index`` (0 is the last/full one).
 
     ``index`` may be a traced integer.  With ``ratios=None`` uses the power
-    law; otherwise looks up a learned table (clamped gather so masked lanes
-    with garbage indices stay in-bounds).
+    law; otherwise looks up a learned table, falling back to the power law
+    for indices past the table's end — a fitted table is sized to the KL
+    seen at initialize time, and a higher-KL block at encode time must get
+    the extrapolation, not the table's last entry (silently reusing ratio
+    [len-1] for every deeper partition mis-sizes the whole variance
+    schedule; the reference raises instead, ref coder.py:226-230).  The
+    gather itself stays clamped so masked lanes with garbage indices remain
+    in-bounds.
     """
+    power = jnp.power(jnp.asarray(index, jnp.float32) + 1.0,
+                      AUX_RATIO_POWER_LAW)
     if ratios is None:
-        return jnp.power(jnp.asarray(index, jnp.float32) + 1.0, AUX_RATIO_POWER_LAW)
+        return power
     idx = jnp.clip(index, 0, ratios.shape[0] - 1)
-    return ratios[idx]
+    return jnp.where(index >= ratios.shape[0], power, ratios[idx])
 
 
 def num_partitions(total_kl, kl_per_partition) -> jnp.ndarray:

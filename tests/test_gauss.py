@@ -104,3 +104,43 @@ def test_log_density_ratio_quadratic_form():
     got = log_density_ratio(x, target, coder)
     want = target.log_prob(x) - coder.log_prob(x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestRatioTableFallback:
+    def test_beyond_table_uses_power_law(self):
+        """A fitted ratio table shorter than the partition count must
+        extrapolate with the power law, not reuse its last entry (reusing it
+        mis-sizes the variance schedule and was measured to inflate a trained
+        model's encode-side KL ~14x through the conditioning cascade)."""
+        from rec_tpu.coding.partition import (AUX_RATIO_POWER_LAW,
+                                              aux_variance_ratio)
+
+        table = jnp.asarray([1.0, 0.6, 0.45, 0.38])
+        # inside the table: table value
+        np.testing.assert_allclose(float(aux_variance_ratio(2, table)), 0.45)
+        # beyond the table: power law, not table[-1]
+        for i in (4, 10, 100):
+            np.testing.assert_allclose(
+                float(aux_variance_ratio(i, table)),
+                float((i + 1.0) ** AUX_RATIO_POWER_LAW), rtol=1e-6)
+
+    def test_roundtrip_with_short_table(self):
+        """Encode/decode stay bit-exact when counts exceed the fitted table
+        (both sides extrapolate identically)."""
+        from rec_tpu.coding import BeamSearchCoder, GaussianParams
+
+        rs = np.random.RandomState(5)
+        target = GaussianParams(
+            jnp.asarray(0.9 * rs.randn(48), jnp.float32),
+            jnp.asarray(np.exp(0.1 * rs.randn(48)), jnp.float32))
+        coder_p = GaussianParams(jnp.zeros(48, jnp.float32),
+                                 jnp.ones(48, jnp.float32))
+        bsc = BeamSearchCoder(kl_per_partition=3.0, n_beams=4,
+                              extra_samples=1.2, block_size=None,
+                              max_partitions=16,
+                              aux_variance_ratios=(1.0, 0.6, 0.45, 0.38))
+        coded = bsc.encode(target, coder_p, seed=3)
+        assert int(jnp.max(coded.counts)) > 4  # exercises the fallback
+        dec = bsc.decode(coder_p, coded.indices, coded.counts, seed=3)
+        np.testing.assert_array_equal(np.asarray(coded.sample),
+                                      np.asarray(dec))
