@@ -24,9 +24,18 @@ def compress_to_file(model, params, file_path: str, image, seed: int,
                      block_size: int, max_index: int):
     """REC-encode ``image`` (H, W, 3 in [0,1]) and serialize to ``file_path``.
     Returns the reconstruction (ref LossyCompressionModel.compress)."""
+    import warnings
+
     out = model.apply(params, image[None], seed, method=model.rec_forward)
     latents = [(np.asarray(ind), np.asarray(cnt))
                for ind, cnt in out["latents"]]
+    budget = model.coder.max_partitions
+    saturated = sum(int(np.sum(cnt == budget)) for _, cnt in latents)
+    if saturated:
+        warnings.warn(
+            f"{saturated} latent block(s) hit max_partitions={budget}; the "
+            "coded sample is truncated and reconstruction quality degrades "
+            "— use a coder with a larger max_partitions", stacklevel=2)
     write_rec(file_path, seed=seed, image_shape=tuple(image.shape),
               block_size=block_size, max_index=max_index, latents=latents)
     return out["reconstruction"][0]
