@@ -72,3 +72,22 @@ class TestLarge4LevelVAE:
                                coder=CODER)
         x = _image(64, 64)
         _check_model(model, x, 4)
+
+
+def test_saturation_warning(tmp_path):
+    """compress_to_file must warn when any latent block's partition count
+    hits the coder's static budget (silent truncation collapses quality)."""
+    import warnings
+
+    tiny = BeamSearchCoder(kl_per_partition=3.0, n_beams=4,
+                           extra_samples=1.2, block_size=256,
+                           max_partitions=1)
+    model = Large1LevelVAE(num_filters=16, coder=tiny)
+    x = _image()
+    params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        compress_to_file(model, params, os.path.join(tmp_path, "s.rec"),
+                         x[0], seed=5, block_size=256,
+                         max_index=tiny.n_samples)
+    assert any("max_partitions" in str(w.message) for w in caught)
