@@ -20,13 +20,14 @@ import numpy as np
 import optax
 
 from rec_tpu.data.datasets import DatasetConfig, iterate_batches
-from rec_tpu.models.mnist_vae import MNISTVAE, MNISTVampVAE
+from rec_tpu.models.mnist_vae import (MNISTMoGVAE, MNISTSNISVAE, MNISTVAE,
+                                      MNISTVampVAE)
 from rec_tpu.utils.logging import setup_logger
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--prior", choices=["gaussian", "vamp"],
+    ap.add_argument("--prior", choices=["gaussian", "mog", "vamp", "snis"],
                     default="gaussian")
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--batch", type=int, default=128)
@@ -41,6 +42,10 @@ def main():
 
     if args.prior == "vamp":
         model = MNISTVampVAE(latents=args.latents, hidden_size=args.hidden)
+    elif args.prior == "mog":
+        model = MNISTMoGVAE(latents=args.latents, hidden_size=args.hidden)
+    elif args.prior == "snis":
+        model = MNISTSNISVAE(latents=args.latents, hidden_size=args.hidden)
     else:
         model = MNISTVAE(latents=args.latents, hidden_size=args.hidden)
 
@@ -49,15 +54,22 @@ def main():
         args.batch)
     first = jnp.asarray(next(batches))
 
+    needs_snis_rng = args.prior == "snis"
     key = jax.random.PRNGKey(0)
-    params = model.init(key, first, jax.random.PRNGKey(1))
+    init_rngs = {"params": key}
+    if needs_snis_rng:
+        init_rngs["snis"] = jax.random.PRNGKey(2)
+    params = model.init(init_rngs, first, jax.random.PRNGKey(1))
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state, batch, key):
         def loss_fn(p):
-            out = model.apply(p, batch, key)
+            rngs = (
+                {"snis": jax.random.fold_in(key, 1)} if needs_snis_rng
+                else None)
+            out = model.apply(p, batch, key, rngs=rngs)
             elbo = jnp.mean(out["log_likelihood"] - out["kl"])
             loss = -elbo
             if args.max_kl is not None:

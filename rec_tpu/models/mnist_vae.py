@@ -117,6 +117,51 @@ class MNISTVampVAE(nn.Module):
                 "log_likelihood": log_lik, "posterior": post, "latent": z}
 
 
+class MNISTMoGVAE(nn.Module):
+    """Mixture-of-Gaussians-prior VAE: the prior is a learned per-dimension
+    uniform mixture of ``num_components`` Gaussians
+    (ref examples/mnist_emp_bayes.py:63-79 — MixtureSameFamily over a
+    (latent_dim, num_components) component grid with probs 1/K)."""
+
+    latents: int = 50
+    hidden_size: int = 300
+    num_components: int = 100
+
+    def setup(self):
+        self.encoder = MNISTEncoder(self.latents, self.hidden_size)
+        self.decoder = MNISTDecoder(self.hidden_size)
+        # Uniform(-1, 1) init for both loc and log-scale (ref :67-68).
+        self.mog_loc = self.param(
+            "mog_loc",
+            lambda key: jax.random.uniform(
+                key, (self.latents, self.num_components),
+                minval=-1.0, maxval=1.0))
+        self.mog_log_scale = self.param(
+            "mog_log_scale",
+            lambda key: jax.random.uniform(
+                key, (self.latents, self.num_components),
+                minval=-1.0, maxval=1.0))
+
+    def prior_log_prob(self, z):
+        """Sum over dims of log (1/K) sum_k N(z_d | loc_dk, scale_dk)."""
+        scale = jnp.exp(self.mog_log_scale)                      # (L, K)
+        zd = z[..., None]                                        # (B, L, 1)
+        comp_lp = (-0.5 * jnp.square((zd - self.mog_loc) / scale)
+                   - jnp.log(scale) - 0.9189385332046727)        # (B, L, K)
+        per_dim = (jax.nn.logsumexp(comp_lp, axis=-1)
+                   - jnp.log(float(self.num_components)))        # (B, L)
+        return jnp.sum(per_dim, axis=-1)
+
+    def __call__(self, x, key):
+        post = self.encoder(x)
+        z = post.sample(key)
+        recon = self.decoder(z)
+        kl = jnp.sum(post.log_prob(z), axis=-1) - self.prior_log_prob(z)
+        log_lik = bernoulli_log_prob(recon, x)
+        return {"reconstruction": recon, "kl": kl,
+                "log_likelihood": log_lik, "posterior": post, "latent": z}
+
+
 class SNISDistribution(nn.Module):
     """Self-normalized importance-sampling distribution over a standard-normal
     proposal with a learned energy network (ref
@@ -157,3 +202,31 @@ class SNISDistribution(nn.Module):
 
     def __call__(self, x):
         return self.log_prob_lower_bound(x)
+
+
+class MNISTSNISVAE(nn.Module):
+    """SNIS-prior VAE: the prior density is the SNIS IWAE-style lower bound
+    of a learned energy tilt over a standard-normal proposal
+    (ref examples/mnist_emp_bayes.py:86-102).  Requires an "snis" rng stream
+    at apply time for the bound's proposal draws."""
+
+    latents: int = 50
+    hidden_size: int = 300
+    snis_K: int = 1024
+    snis_hidden: int = 100
+
+    def setup(self):
+        self.encoder = MNISTEncoder(self.latents, self.hidden_size)
+        self.decoder = MNISTDecoder(self.hidden_size)
+        self.prior = SNISDistribution(dim=self.latents, K=self.snis_K,
+                                      hidden=self.snis_hidden)
+
+    def __call__(self, x, key):
+        post = self.encoder(x)
+        z = post.sample(key)
+        recon = self.decoder(z)
+        prior_lb = self.prior.log_prob_lower_bound(z)[:, 0]
+        kl = jnp.sum(post.log_prob(z), axis=-1) - prior_lb
+        log_lik = bernoulli_log_prob(recon, x)
+        return {"reconstruction": recon, "kl": kl,
+                "log_likelihood": log_lik, "posterior": post, "latent": z}

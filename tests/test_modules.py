@@ -192,6 +192,44 @@ class TestMNISTVAE:
             assert out["kl"].shape == (4,)
             assert bool(jnp.all(jnp.isfinite(out["log_likelihood"])))
 
+    def test_mog_prior(self):
+        from rec_tpu.models.mnist_vae import MNISTMoGVAE
+
+        x = jnp.asarray((np.random.RandomState(1).rand(4, 28, 28, 1) > 0.5),
+                        jnp.float32)
+        model = MNISTMoGVAE(latents=20, hidden_size=64, num_components=8)
+        params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+        out = model.apply(params, x, jax.random.PRNGKey(2))
+        assert out["reconstruction"].shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(out["kl"])))
+        # A wide learned mixture reduces to its components: with all locs 0
+        # and unit scales the prior must equal the standard normal exactly.
+        p = jax.tree_util.tree_map(lambda a: a, params)
+        p["params"]["mog_loc"] = jnp.zeros_like(p["params"]["mog_loc"])
+        p["params"]["mog_log_scale"] = jnp.zeros_like(
+            p["params"]["mog_log_scale"])
+        z = jnp.asarray(np.random.RandomState(2).randn(3, 20), jnp.float32)
+        lp = model.apply(p, z, method=model.prior_log_prob)
+        expected = np.sum(-0.5 * np.asarray(z) ** 2 - 0.9189385332046727,
+                          axis=-1)
+        np.testing.assert_allclose(np.asarray(lp), expected, rtol=1e-5)
+
+    def test_snis_prior_vae(self):
+        from rec_tpu.models.mnist_vae import MNISTSNISVAE
+
+        x = jnp.asarray((np.random.RandomState(3).rand(2, 28, 28, 1) > 0.5),
+                        jnp.float32)
+        model = MNISTSNISVAE(latents=10, hidden_size=32, snis_K=16,
+                             snis_hidden=16)
+        params = model.init({"params": jax.random.PRNGKey(0),
+                             "snis": jax.random.PRNGKey(1)},
+                            x, jax.random.PRNGKey(2))
+        out = model.apply(params, x, jax.random.PRNGKey(3),
+                          rngs={"snis": jax.random.PRNGKey(4)})
+        assert out["reconstruction"].shape == x.shape
+        assert out["kl"].shape == (2,)
+        assert bool(jnp.all(jnp.isfinite(out["kl"])))
+
     def test_snis(self):
         from rec_tpu.models.mnist_vae import SNISDistribution
 
