@@ -261,9 +261,11 @@ def main(argv):
 
     csv_path = os.path.join(cfg.output_dir, f"{cfg.dataset.dataset}.csv")
     fields = ["index", "width", "height", "seed", "total_kl",
-              "ideal_elbo_bpd", "latent_code_bits", "file_bits",
-              "total_bits_per_dim", "residual_bits", "psnr", "comp_time",
-              "decomp_time", "roundtrip_ok", "saturated_blocks"]
+              "ideal_elbo_bpd", "ideal_psnr", "ideal_ms_ssim",
+              "latent_code_bits", "file_bits",
+              "total_bits_per_dim", "residual_bits", "psnr", "ms_ssim",
+              "comp_time", "decomp_time", "roundtrip_ok",
+              "saturated_blocks"]
     rows = []
     crashes = 0
     for i, img in enumerate(images):
@@ -283,6 +285,20 @@ def main(argv):
              f"{np.mean([r['total_bits_per_dim'] for r in rows]):.3f}")
 
 
+def _ms_ssim_auto(a, b):
+    """MS-SSIM with the scale count sized to the image (the standard 5
+    scales need min(H, W) >= 176; CIFAR-sized images use fewer, with the
+    weight vector renormalized)."""
+    from rec_tpu.utils.metrics import _MSSSIM_WEIGHTS, ms_ssim
+
+    scales = 1
+    side = min(a.shape[1], a.shape[2])
+    while scales < 5 and side >= 11 * (2 ** scales):
+        scales += 1
+    w = np.asarray(_MSSSIM_WEIGHTS[:scales])
+    return float(ms_ssim(a, b, weights=w / w.sum())[0])
+
+
 def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
                   decompress):
     x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
@@ -290,12 +306,15 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
     num_dims = float(np.prod(x.shape[1:]))
     seed = cfg.seed + i
 
-    # Ideal pass: ELBO metrics (ref :321-342).
+    # Ideal pass: ELBO metrics + uncoded-reconstruction quality
+    # (ref :321-342 and the ideal_PSNR/ideal_MS_SSIM CSV columns, :280-297).
     out = forward(params, x, jax.random.PRNGKey(seed))
     ideal_elbo_bpd = float(
         (-jnp.mean(out["log_likelihood"])
          + jnp.sum(jnp.mean(out["analytic_kl"], axis=1)))
         / (num_dims * LOG2))
+    ideal_psnr = float(psnr(x + 0.5, out["reconstruction"])[0])
+    ideal_ms = _ms_ssim_auto(x + 0.5, out["reconstruction"])
 
     t0 = time.time()
     comp = jax.block_until_ready(compress(params, x, seed))
@@ -317,6 +336,10 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
     latents = [(np.asarray(comp["indices"][b]),
                 np.asarray(comp["counts"][b]))
                for b in range(cfg.model_cfg.num_res_blocks)]
+    # Raw index arrays alongside the .rec file (ref :352 saves
+    # <image>_block_indices.npy per image for offline analysis).
+    np.save(os.path.join(cfg.output_dir, f"block_indices_{i}.npy"),
+            np.asarray(comp["indices"]))
     max_index = (coder.n_samples if cfg.sampler == "beam_search"
                  else 1 << cfg.coding_bits)
 
@@ -377,11 +400,13 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
     row = dict(index=i, width=w, height=h, seed=seed,
                total_kl=float(jnp.sum(comp["kl"])),
                ideal_elbo_bpd=ideal_elbo_bpd,
+               ideal_psnr=ideal_psnr, ideal_ms_ssim=ideal_ms,
                latent_code_bits=latent_bits,
                file_bits=nbytes * 8,
                total_bits_per_dim=total_bpd,
                residual_bits=residual_bits,
-               psnr=p, comp_time=comp_time,
+               psnr=p, ms_ssim=_ms_ssim_auto(x + 0.5, recon),
+               comp_time=comp_time,
                decomp_time=decomp_time, roundtrip_ok=ok,
                saturated_blocks=saturated)
     log.info(f"image {i}: kl={row['total_kl']:.0f} "
