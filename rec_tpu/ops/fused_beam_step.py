@@ -77,43 +77,49 @@ def _kernel(rows: int, D_pad: int, ck_ref, beams_ref, scale_ref, a_ref,
     u = jnp.maximum(x01 * (np.float32(1.0) - _LO) + _LO, _LO)
     eps = np.float32(np.sqrt(2.0)) * erfinv_f32(u)
 
-    x = beams_ref[:] + scale_ref[:] * eps
+    # beams_ref is ONE beam row (1, 1, D_pad), broadcast against this grid
+    # step's rows — the per-row beam gather happens via the grid index, so
+    # no (B*S, D) beam tensor ever exists in HBM.
+    x = beams_ref[0] + scale_ref[:] * eps
     s = jnp.sum((a_ref[:] * x + b_ref[:]) * x, axis=-1, keepdims=True)
     out_ref[:] = jnp.broadcast_to(s, (rows, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("S", "D", "row_chunk"))
+@functools.partial(jax.jit, static_argnames=("S", "D"))
 def fused_candidate_scores(cand_keys, beams, aux_scale, a, b, c_sum, *,
-                           S: int, D: int, row_chunk: int = 256):
+                           S: int, D: int):
     """cand_keys (B, S, 2) u32 (raw key data); beams (B, D);
-    aux_scale/a/b (D,); -> (B, S) f32 scores."""
+    aux_scale/a/b (D,); -> (B, S) f32 scores.
+
+    Grid = one step per beam: each step streams that beam's S candidate
+    rows through VMEM, reading only the (1, D) beam row it needs.  HBM
+    traffic is therefore O(B*S) keys in + O(B*S) scores out; the candidate
+    values (B*S*D elements) live and die in-register."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B = beams.shape[0]
-    R = B * S
     D_pad = -(-D // 128) * 128
-    rows = min(row_chunk, -(-R // 8) * 8)
-    R_pad = -(-R // rows) * rows
+    S_pad = -(-S // 8) * 8
     pad_d = D_pad - D
 
-    ck = cand_keys.reshape(R, 2)
-    ck = jnp.pad(ck, ((0, R_pad - R), (0, 0)))
-    # Per-row beam values: gather is (R, D) f32 — a few MB, written once.
-    beam_rows = jnp.repeat(jnp.pad(beams, ((0, 0), (0, pad_d))), S, axis=0)
-    beam_rows = jnp.pad(beam_rows, ((0, R_pad - R), (0, 0)))
+    ck = jnp.pad(cand_keys, ((0, 0), (0, S_pad - S), (0, 0)))
+    ck = ck.reshape(B * S_pad, 2)
+    # Singleton middle axis so the (1, 1, D_pad) block satisfies Mosaic's
+    # last-two-dims tiling rule while still selecting one beam per grid step.
+    beams_p = jnp.pad(beams, ((0, 0), (0, pad_d)))[:, None, :]
 
     def vec(v):
         return jnp.pad(v, (0, pad_d))[None, :]
 
-    kernel = functools.partial(_kernel, rows, D_pad)
+    kernel = functools.partial(_kernel, S_pad, D_pad)
     scores = pl.pallas_call(
         kernel,
-        grid=(R_pad // rows,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((rows, 2), lambda i: (i, 0),
+            pl.BlockSpec((S_pad, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, D_pad), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, D_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -122,8 +128,8 @@ def fused_candidate_scores(cand_keys, beams, aux_scale, a, b, c_sum, *,
             pl.BlockSpec((1, D_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((S_pad, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R_pad, 128), jnp.float32),
-    )(ck, beam_rows, vec(aux_scale), vec(a), vec(b))
-    return scores[:R, 0].reshape(B, S) + c_sum
+        out_shape=jax.ShapeDtypeStruct((B * S_pad, 128), jnp.float32),
+    )(ck, beams_p, vec(aux_scale), vec(a), vec(b))
+    return scores[:, 0].reshape(B, S_pad)[:, :S] + c_sum
