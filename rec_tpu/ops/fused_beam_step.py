@@ -11,11 +11,13 @@ per-candidate scores:
     eps  (r, d) = erfinv-normal mapping of bits
     score(r)    = sum_d quad(beam_row_{r,d} + aux_scale_d * eps_{r,d})
 
-with r running over all B*S (beam, candidate) rows, chunked into large
-sublane blocks for VPU efficiency.  The per-candidate keys (one fold_in per
-row) are computed OUTSIDE the kernel by jax.random — they are B*S tiny
-hashes, and using the real jax.random keys keeps the stream addressing
-identical to the replay path by construction.
+with r running over the S_pad candidate rows of one beam per grid step
+(grid = one step per beam): each step reads only the (1, D_pad) beam row it
+needs via the grid index, so no (B*S, D) beam tensor is ever materialized
+in HBM.  The per-candidate keys (one fold_in per row) are computed OUTSIDE
+the kernel by jax.random — they are B*S tiny hashes, and using the real
+jax.random keys keeps the stream addressing identical to the replay path by
+construction.
 
 The integer stages replicate jax.random bit-exactly and the float stages
 value-faithfully (ops/threefry_normal.py, unit-tested against jax.random:
@@ -85,16 +87,19 @@ def _kernel(rows: int, D_pad: int, ck_ref, beams_ref, scale_ref, a_ref,
     out_ref[:] = jnp.broadcast_to(s, (rows, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("S", "D"))
+@functools.partial(jax.jit, static_argnames=("S", "D", "interpret"))
 def fused_candidate_scores(cand_keys, beams, aux_scale, a, b, c_sum, *,
-                           S: int, D: int):
+                           S: int, D: int, interpret: bool = False):
     """cand_keys (B, S, 2) u32 (raw key data); beams (B, D);
     aux_scale/a/b (D,); -> (B, S) f32 scores.
 
     Grid = one step per beam: each step streams that beam's S candidate
     rows through VMEM, reading only the (1, D) beam row it needs.  HBM
     traffic is therefore O(B*S) keys in + O(B*S) scores out; the candidate
-    values (B*S*D elements) live and die in-register."""
+    values (B*S*D elements) live and die in-register.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter so the
+    blocking/padding logic is testable on CPU (tests/test_ops.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -131,5 +136,6 @@ def fused_candidate_scores(cand_keys, beams, aux_scale, a, b, c_sum, *,
         out_specs=pl.BlockSpec((S_pad, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * S_pad, 128), jnp.float32),
+        interpret=interpret,
     )(ck, beams_p, vec(aux_scale), vec(a), vec(b))
     return scores[:, 0].reshape(B, S_pad)[:, :S] + c_sum

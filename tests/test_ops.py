@@ -45,6 +45,46 @@ class TestThreefryReplication:
         assert abs(x.mean()) < 0.02 and abs(x.std() - 1.0) < 0.02
 
 
+class TestFusedBeamStep:
+    def test_interpret_parity_with_padding(self):
+        # ADVICE r1: cover BOTH padding paths of the per-beam-grid
+        # restructure — S not divisible by 8 (sublane pad) and D not
+        # divisible by 128 (lane pad) — against the normal_row + quadratic
+        # reference scorer, through the Pallas interpreter on CPU.
+        from rec_tpu.ops.fused_beam_step import fused_candidate_scores
+
+        B, S, D = 3, 5, 200
+        rs = np.random.RandomState(7)
+        root = jax.random.PRNGKey(123)
+        cand_keys = jax.vmap(
+            lambda b: jax.vmap(
+                lambda s: jax.random.fold_in(jax.random.fold_in(root, b), s)
+            )(jnp.arange(S)))(jnp.arange(B))
+        ckd = jax.vmap(jax.vmap(jax.random.key_data))(cand_keys)
+
+        beams = jnp.asarray(rs.randn(B, D), jnp.float32)
+        aux_scale = jnp.asarray(np.exp(0.2 * rs.randn(D)), jnp.float32)
+        a = jnp.asarray(0.1 * rs.randn(D), jnp.float32)
+        b = jnp.asarray(rs.randn(D), jnp.float32)
+        c_sum = jnp.float32(1.75)
+
+        got = fused_candidate_scores(ckd.astype(jnp.uint32), beams,
+                                     aux_scale, a, b, c_sum, S=S, D=D,
+                                     interpret=True)
+
+        flat_kd = ckd.reshape(B * S, 2)
+        eps = jax.vmap(lambda kd: normal_row(kd, D))(flat_kd)
+        eps = eps.reshape(B, S, D)
+        x = beams[:, None, :] + aux_scale * eps
+        want = jnp.sum((a * x + b) * x, axis=-1) + c_sum
+
+        assert got.shape == (B, S)
+        # erfinv op-ordering differences are ~1 ulp per element; summed over
+        # D=200 they stay far below any score gap that could flip a top-k.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+
 class TestScoreCandidates:
     def test_matches_direct_log_ratio(self):
         rs = np.random.RandomState(0)
