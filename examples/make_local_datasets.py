@@ -1,0 +1,82 @@
+"""Build real-photograph local datasets in a zero-egress environment.
+
+The reference trains/evaluates on tfds CIFAR-10 / ImageNet32 and PNG Kodak
+(ref examples/lossless/datasets.py) — none of which can be downloaded here.
+This script manufactures REAL natural-image datasets from the one real
+photograph guaranteed to be on disk (matplotlib's bundled
+``grace_hopper.jpg``, a 512x600 RGB photo):
+
+  * ``hopper32``  — 32x32 patches (CIFAR-shaped) with a SPATIAL train/test
+    split: training patches (stride 8, + horizontal flips) come from the
+    top rows only; test patches (non-overlapping) come from a held-out
+    bottom strip, so no test pixel appears in training.
+  * ``hopper512`` — the full photo as a single Kodak-like test image.
+
+Outputs ``<data_dir>/<name>_<split>.npz`` with an ``images`` entry in
+[0, 255], the layout ``rec_tpu.data.datasets.load_images`` resolves before
+falling back to synthetic data.
+
+Usage:
+    python examples/make_local_datasets.py [data_dir=data]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def load_hopper() -> np.ndarray:
+    import matplotlib
+
+    path = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                        "sample_data", "grace_hopper.jpg")
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))  # (600, 512, 3) u8
+
+
+def extract_patches(img: np.ndarray, size: int, stride: int) -> np.ndarray:
+    H, W = img.shape[:2]
+    out = []
+    for r in range(0, H - size + 1, stride):
+        for c in range(0, W - size + 1, stride):
+            out.append(img[r:r + size, c:c + size])
+    return np.stack(out)
+
+
+def main(argv):
+    data_dir = "data"
+    for a in argv:
+        if a.startswith("data_dir="):
+            data_dir = a.split("=", 1)[1]
+    os.makedirs(data_dir, exist_ok=True)
+
+    img = load_hopper()
+    H = img.shape[0]
+    test_rows = 96  # held-out bottom strip: 3 non-overlapping patch rows
+    train_img = img[:H - test_rows]
+    test_img = img[H - test_rows:]
+
+    train = extract_patches(train_img, 32, 8)
+    train = np.concatenate([train, train[:, :, ::-1]])  # horizontal flips
+    test = extract_patches(test_img, 32, 32)
+
+    rs = np.random.RandomState(0)
+    train = train[rs.permutation(len(train))]
+
+    np.savez_compressed(os.path.join(data_dir, "hopper32_train.npz"),
+                        images=train.astype(np.uint8))
+    np.savez_compressed(os.path.join(data_dir, "hopper32_test.npz"),
+                        images=test.astype(np.uint8))
+    np.savez_compressed(os.path.join(data_dir, "hopper512_test.npz"),
+                        images=img[None].astype(np.uint8))
+    print(f"hopper32: train {train.shape}, test {test.shape} "
+          f"(spatial split, bottom {test_rows} rows held out)")
+    print(f"hopper512: 1 full {img.shape} photo -> {data_dir}/")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -30,6 +30,11 @@ DATASET_SHAPES = {
     "imagenet64": (64, 64, 3),
     "kodak": (512, 768, 3),
     "clic2019": (256, 256, 3),
+    # Real-photograph datasets buildable offline from matplotlib's bundled
+    # grace_hopper.jpg (examples/make_local_datasets.py): 32x32 patches with
+    # a spatial train/test split, and the full photo as a Kodak-like image.
+    "hopper32": (32, 32, 3),
+    "hopper512": (600, 512, 3),
 }
 
 
