@@ -62,6 +62,7 @@ class Config:
     coding_bits: int = 12
     block_size: int = 1000
     max_partitions: int = 24
+    stream: str = "fmix"            # candidate bit-generator: fmix | threefry
     num_images: int = 10
     pad_multiple: int = 2  # x64 only needed by the /64-downsampling models (ref pads to x64, :311-312)
     seed: int = 42
@@ -82,12 +83,14 @@ def build_coder(cfg: Config):
                                n_beams=cfg.n_beams,
                                extra_samples=cfg.extra_samples,
                                block_size=cfg.block_size,
-                               max_partitions=cfg.max_partitions)
+                               max_partitions=cfg.max_partitions,
+                               stream=cfg.stream)
     if cfg.sampler == "importance":
         return GaussianCoder(kl_per_partition=cfg.kl_per_partition,
                              coding_bits=cfg.coding_bits,
                              block_size=cfg.block_size,
-                             max_partitions=cfg.max_partitions)
+                             max_partitions=cfg.max_partitions,
+                             stream=cfg.stream)
     raise ValueError(cfg.sampler)
 
 

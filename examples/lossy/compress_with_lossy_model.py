@@ -56,6 +56,7 @@ class Config:
     coding_bits: int = 12
     block_size: int = 1000
     max_partitions: int = 24
+    stream: str = "fmix"            # candidate bit-generator: fmix | threefry
     num_images: int = 4
     seed: int = 42
     use_ema: bool = True
@@ -75,13 +76,15 @@ def main(argv):
                                 n_beams=cfg.n_beams,
                                 extra_samples=cfg.extra_samples,
                                 block_size=cfg.block_size,
-                                max_partitions=cfg.max_partitions)
+                                max_partitions=cfg.max_partitions,
+                                stream=cfg.stream)
         max_index = coder.n_samples
     else:
         coder = GaussianCoder(kl_per_partition=cfg.kl_per_partition,
                               coding_bits=cfg.coding_bits,
                               block_size=cfg.block_size,
-                              max_partitions=cfg.max_partitions)
+                              max_partitions=cfg.max_partitions,
+                              stream=cfg.stream)
         max_index = 1 << cfg.coding_bits
 
     models = {

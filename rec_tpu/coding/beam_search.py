@@ -65,6 +65,12 @@ class BeamSearchConfig:
     # toolchain (>10 min vs ~1 min for the scan) — enable for long-lived
     # serving processes where the compile amortizes.
     dynamic_early_exit: bool = False
+    # Candidate bit-generator: "fmix" (murmur3-finalizer counter hash, the
+    # default — ~2.5x fewer integer ops on the measured encode bottleneck,
+    # quality-validated against threefry in tests/test_roundtrip.py) or
+    # "threefry" (jax.random, the conservative option).  Part of the stream
+    # contract: encode and decode must agree, like n_beams.
+    stream: str = "fmix"
     # TPU-first variant: all beams share ONE candidate pool of S rows per
     # partition (stream address = (step, candidate), no history hash) instead
     # of the reference's per-beam history-hash streams
@@ -95,7 +101,7 @@ class BeamCodedBlock(NamedTuple):
 
 
 def _use_fused(cfg: BeamSearchConfig) -> bool:
-    if not cfg.use_fused_kernel:
+    if not cfg.use_fused_kernel or cfg.stream != "threefry":
         return False
     try:
         return jax.devices()[0].platform == "tpu"
@@ -114,32 +120,24 @@ def _candidate_keys(cfg: BeamSearchConfig, skey, hashes):
     return jax.vmap(per_beam)(hashes)
 
 
-def _candidate_rows(keys, dim, dtype=jnp.float32):
+def _candidate_rows(keys, dim, stream="threefry", dtype=jnp.float32):
     """Standard-normal rows for a pytree of keys with arbitrary leading
     shape; each key yields an independent (dim,) stream."""
     flat = keys.reshape(-1, keys.shape[-1])
-    rows = jax.vmap(lambda k: jax.random.normal(k, (dim,), dtype=dtype))(flat)
+    rows = jax.vmap(
+        lambda k: rng.normal_stream(k, (dim,), dtype=dtype, stream=stream)
+    )(flat)
     return rows.reshape(keys.shape[:-1] + (dim,))
 
 
-def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
-                 coder: GaussianParams, block_key,
-                 ratios: Optional[jnp.ndarray] = None) -> BeamCodedBlock:
-    """Beam-search encode of one latent block (ref beam_search_coder.py:452-521).
+def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
+                 coder: GaussianParams, n, block_key, ratios, carry, t):
+    """One partition step of the beam search for one latent block.
 
-    Contract note: the returned ``sample`` is the encoder-carried beam sum,
-    which may differ from the pinned decode replay by float-fusion ULPs.
-    Bit-exact consumers (the public ``Coder.encode``, the parallel codec, the
-    models) must report ``decode_block(...)`` of the returned indices instead
-    — the encoder embeds the decoder.
-    """
+    ``carry`` = (beams (B, D), hashes (B,), beam_indices (B, P),
+    cum_var (D,)); a no-op (carry passthrough) for t >= n."""
     D = target.loc.shape[-1]
-    B, S, P = cfg.n_beams, cfg.n_samples, cfg.max_partitions
-
-    total_kl = jnp.sum(kl_divergence(target, coder))
-    # Clamped to the static scan budget — see importance.encode_block.
-    n = jnp.minimum(num_partitions(total_kl, cfg.kl_per_partition),
-                    cfg.max_partitions)
+    B, S = cfg.n_beams, cfg.n_samples
     p_var = coder.var
 
     def step(carry, t):
@@ -166,7 +164,7 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
             pkey = rng.pool_key(skey)
             pool_keys = jax.vmap(lambda s: rng.candidate_key(pkey, s))(
                 jnp.arange(S))
-            eps_pool = _candidate_rows(pool_keys, D)              # (S, D) f32
+            eps_pool = _candidate_rows(pool_keys, D, cfg.stream)  # (S, D) f32
             qa, qb, qc_sum = _quadratic_coeffs(aux_t, cum_coder)
             sdt = jnp.dtype(cfg.score_dtype)
             const_b = jnp.sum((qa * beams + qb) * beams, axis=-1) + qc_sum
@@ -198,7 +196,8 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
             # regenerated in f32 below, so the carried beams stay exactly
             # replay-consistent.
             sdt = jnp.dtype(cfg.score_dtype)
-            eps_lp = _candidate_rows(cand_keys, D).astype(sdt)    # (B, S, D)
+            eps_lp = _candidate_rows(cand_keys, D,
+                                     cfg.stream).astype(sdt)  # (B, S, D)
             combined_lp = (beams.astype(sdt)[:, None, :]
                            + aux_scale.astype(sdt) * eps_lp)
             scores = jnp.sum(
@@ -219,7 +218,8 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
         else:
             # Regenerate only the B winning rows in f32 (per-candidate keys).
             winner_keys = cand_keys[parent, cand]                 # (B, 2)
-            winner_eps = _candidate_rows(winner_keys, D)          # (B, D)
+            winner_eps = _candidate_rows(winner_keys, D,
+                                         cfg.stream)          # (B, D)
         new_beams = beams[parent] + aux_scale * winner_eps
         new_hashes = rng.fnv_step(hashes[parent], cand)
         new_beam_indices = beam_indices[parent].at[:, t].set(cand)
@@ -229,12 +229,43 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
             active,
             (new_beams, new_hashes, new_beam_indices, cum_var + aux_var),
             (beams, hashes, beam_indices, cum_var))
-        return carry, None
+        return carry
 
-    init = (jnp.zeros((B, D), jnp.float32),
+    return step(carry, t)
+
+
+def _beam_init(cfg: BeamSearchConfig, D: int):
+    B, P = cfg.n_beams, cfg.max_partitions
+    return (jnp.zeros((B, D), jnp.float32),
             jnp.full((B,), rng.fnv_init()),
             jnp.zeros((B, P), jnp.int32),
             jnp.zeros((D,), jnp.float32))
+
+
+def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
+                 coder: GaussianParams, block_key,
+                 ratios: Optional[jnp.ndarray] = None) -> BeamCodedBlock:
+    """Beam-search encode of one latent block (ref beam_search_coder.py:452-521).
+
+    Contract note: the returned ``sample`` is the encoder-carried beam sum,
+    which may differ from the pinned decode replay by float-fusion ULPs.
+    Bit-exact consumers (the public ``Coder.encode``, the parallel codec, the
+    models) must report ``decode_block(...)`` of the returned indices instead
+    — the encoder embeds the decoder.
+    """
+    D = target.loc.shape[-1]
+    P = cfg.max_partitions
+
+    total_kl = jnp.sum(kl_divergence(target, coder))
+    # Clamped to the static scan budget — see importance.encode_block.
+    n = jnp.minimum(num_partitions(total_kl, cfg.kl_per_partition),
+                    cfg.max_partitions)
+
+    def step(carry, t):
+        return _encode_step(cfg, target, coder, n, block_key, ratios,
+                            carry, t), None
+
+    init = _beam_init(cfg, D)
     if cfg.dynamic_early_exit:
         # Stops at the data-dependent partition count (under vmap over
         # latent blocks, at the batch max); the body is a no-op for
@@ -251,13 +282,57 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
                           sample=beams[0] + coder.loc)
 
 
-def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
-                 indices: jnp.ndarray, count, block_key,
-                 ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Replay the winning beam's candidate streams (ref
-    beam_search_coder.py:523-547)."""
+def encode_blocks(cfg: BeamSearchConfig, targets: GaussianParams,
+                  coders: GaussianParams, bkeys,
+                  ratios: Optional[jnp.ndarray] = None) -> BeamCodedBlock:
+    """Batched encode of N latent blocks with partition early exit.
+
+    Same streams and outputs as ``vmap(encode_block)``, but the partition
+    scan is OUTERMOST with the per-block work vmapped inside it, so one
+    scalar ``lax.cond`` skips every step past the batch's max partition
+    count entirely.  The static ``max_partitions`` budget stays the compiled
+    bound; the data-dependent count becomes the *executed* bound — on
+    trained models (counts of 2-6 against budgets of 24+) this is the
+    difference between paying for the budget and paying for the data.
+    Under a further vmap (batched images) the cond degrades to a select
+    (both branches execute) and throughput matches the old path — the skip
+    branch is a passthrough.
+    """
+    D = targets.loc.shape[-1]
+    P = cfg.max_partitions
+
+    kls = jax.vmap(lambda t, c: jnp.sum(kl_divergence(t, c)))(targets, coders)
+    n = jnp.minimum(num_partitions(kls, cfg.kl_per_partition),
+                    cfg.max_partitions)
+    n_max = jnp.max(n)
+
+    step_v = jax.vmap(
+        lambda tgt, cod, nb, bk, carry, t: _encode_step(
+            cfg, tgt, cod, nb, bk, ratios, carry, t),
+        in_axes=(0, 0, 0, 0, 0, None))
+
+    def scan_step(carry, t):
+        carry = jax.lax.cond(
+            t < n_max,
+            lambda c: step_v(targets, coders, n, bkeys, c, t),
+            lambda c: c, carry)
+        return carry, None
+
+    N, B = n.shape[0], cfg.n_beams
+    init = (jnp.zeros((N, B, D), jnp.float32),
+            jnp.full((N, B), rng.fnv_init()),
+            jnp.zeros((N, B, P), jnp.int32),
+            jnp.zeros((N, D), jnp.float32))
+    (beams, _, beam_indices, _), _ = jax.lax.scan(
+        scan_step, init, jnp.arange(P, dtype=jnp.int32))
+    return BeamCodedBlock(indices=beam_indices[:, 0], count=n,
+                          sample=beams[:, 0] + coders.loc)
+
+
+def _decode_step(cfg: BeamSearchConfig, coder: GaussianParams,
+                 indices: jnp.ndarray, count, block_key, ratios, carry, t):
+    """One replay step for one block; carry = (sample, history, cum_var)."""
     D = coder.loc.shape[-1]
-    count = jnp.minimum(count, cfg.max_partitions)
     p_var = coder.var
 
     def step(carry, t):
@@ -278,17 +353,36 @@ def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
             key = rng.candidate_key(rng.pool_key(skey), idx)
         else:
             key = rng.candidate_key(rng.beam_stream_key(skey, h), idx)
-        eps = pin(jax.random.normal(key, (D,)))
+        eps = pin(rng.normal_stream(key, (D,), stream=cfg.stream))
         new_sample = sample + pin(aux_scale * eps)
         new_h = rng.fnv_step(h, idx)
 
         carry = tree_where(t < count,
                            (new_sample, new_h, cum_var + aux_var),
                            (sample, h, cum_var))
-        return carry, None
+        return carry
 
-    init = (jnp.zeros((D,), jnp.float32), rng.fnv_init(),
+    return step(carry, t)
+
+
+def _decode_init(D: int):
+    return (jnp.zeros((D,), jnp.float32), rng.fnv_init(),
             jnp.zeros((D,), jnp.float32))
+
+
+def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
+                 indices: jnp.ndarray, count, block_key,
+                 ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Replay the winning beam's candidate streams (ref
+    beam_search_coder.py:523-547)."""
+    D = coder.loc.shape[-1]
+    count = jnp.minimum(count, cfg.max_partitions)
+
+    def step(carry, t):
+        return _decode_step(cfg, coder, indices, count, block_key, ratios,
+                            carry, t), None
+
+    init = _decode_init(D)
     if cfg.dynamic_early_exit:
         (_, (sample, _, _)) = jax.lax.while_loop(
             lambda c: c[0] < count,
@@ -298,3 +392,34 @@ def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
         (sample, _, _), _ = jax.lax.scan(
             step, init, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
     return sample + coder.loc
+
+
+def decode_blocks(cfg: BeamSearchConfig, coders: GaussianParams,
+                  indices: jnp.ndarray, counts, bkeys,
+                  ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Batched replay of N blocks with partition early exit (the decode
+    analogue of ``encode_blocks``); bit-identical per block to
+    ``decode_block`` — the replay chain is elementwise over D, so batching
+    cannot perturb its float ops, and the pinned ops stay pinned."""
+    N, D = coders.loc.shape
+    counts = jnp.minimum(counts, cfg.max_partitions)
+    n_max = jnp.max(counts)
+
+    step_v = jax.vmap(
+        lambda cod, idx, cnt, bk, carry, t: _decode_step(
+            cfg, cod, idx, cnt, bk, ratios, carry, t),
+        in_axes=(0, 0, 0, 0, 0, None))
+
+    def scan_step(carry, t):
+        carry = jax.lax.cond(
+            t < n_max,
+            lambda c: step_v(coders, indices, counts, bkeys, c, t),
+            lambda c: c, carry)
+        return carry, None
+
+    init = (jnp.zeros((N, D), jnp.float32),
+            jnp.full((N,), rng.fnv_init()),
+            jnp.zeros((N, D), jnp.float32))
+    (sample, _, _), _ = jax.lax.scan(
+        scan_step, init, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    return sample + coders.loc

@@ -48,6 +48,15 @@ class _BlockCoder:
     def _decode_block(self, coder, indices, count, bkey, ratios):
         raise NotImplementedError
 
+    # -- batched primitives: same streams as vmap of the per-block ones,
+    # but with the partition scan outermost so dead partition steps are
+    # skipped via one scalar cond (beam_search/importance .encode_blocks).
+    def _encode_blocks(self, targets, coders, bkeys, ratios):
+        raise NotImplementedError
+
+    def _decode_blocks(self, coders, indices, counts, bkeys, ratios):
+        raise NotImplementedError
+
     # -- public API -----------------------------------------------------
     def required_partitions(self, target: GaussianParams,
                             coder: GaussianParams, seed: int = 0) -> int:
@@ -70,18 +79,14 @@ class _BlockCoder:
         t, c = split_pair(target, coder, plan, perm)
         bkeys = jax.vmap(lambda b: rng.block_key(root, b))(
             jnp.arange(plan.num_blocks))
-        coded = jax.vmap(
-            lambda tb, cb, kb: self._encode_block(tb, cb, kb, self._ratios())
-        )(t, c, bkeys)
+        coded = self._encode_blocks(t, c, bkeys, self._ratios())
         # The encoder embeds the decoder: the reported sample is the decode
         # replay of the chosen indices, so encode().sample == decode(indices)
         # bit-for-bit by construction — immune to XLA fusing the encode- and
         # decode-side float accumulations differently (SURVEY.md §7 hard
         # part 1).  The replay costs ~1/n_beams of the encode pass.
-        samples = jax.vmap(
-            lambda cb, ib, nb, kb: self._decode_block(cb, ib, nb, kb,
-                                                      self._ratios())
-        )(c, coded.indices, coded.count, bkeys)
+        samples = self._decode_blocks(c, coded.indices, coded.count, bkeys,
+                                      self._ratios())
         sample = merge(samples, shape, plan, perm)
         return CodedLatent(coded.indices, coded.count, sample)
 
@@ -95,10 +100,8 @@ class _BlockCoder:
         c = split_coder(coder, plan, perm)
         bkeys = jax.vmap(lambda b: rng.block_key(root, b))(
             jnp.arange(plan.num_blocks))
-        samples = jax.vmap(
-            lambda cb, ib, nb, kb: self._decode_block(cb, ib, nb, kb,
-                                                      self._ratios())
-        )(c, indices, counts, bkeys)
+        samples = self._decode_blocks(c, indices, counts, bkeys,
+                                      self._ratios())
         return merge(samples, shape, plan, perm)
 
     aux_variance_ratios = None  # subclass dataclasses may set a table
@@ -120,6 +123,9 @@ class GaussianCoder(_BlockCoder):
     max_partitions: int = 24
     candidate_chunk: int = 1024
     dynamic_early_exit: bool = False
+    # Proposal bit-generator ("fmix" default | "threefry"), part of the
+    # stream contract like coding_bits — see rng.normal_stream.
+    stream: str = "fmix"
     aux_variance_ratios: Optional[tuple] = None  # learned table, else power law
 
     def _cfg(self):
@@ -128,7 +134,8 @@ class GaussianCoder(_BlockCoder):
             coding_bits=self.coding_bits,
             max_partitions=self.max_partitions,
             candidate_chunk=self.candidate_chunk,
-            dynamic_early_exit=self.dynamic_early_exit)
+            dynamic_early_exit=self.dynamic_early_exit,
+            stream=self.stream)
 
     def _encode_block(self, target, coder, bkey, ratios):
         return importance.encode_block(self._cfg(), target, coder, bkey, ratios)
@@ -136,6 +143,14 @@ class GaussianCoder(_BlockCoder):
     def _decode_block(self, coder, indices, count, bkey, ratios):
         return importance.decode_block(self._cfg(), coder, indices, count,
                                        bkey, ratios)
+
+    def _encode_blocks(self, targets, coders, bkeys, ratios):
+        return importance.encode_blocks(self._cfg(), targets, coders, bkeys,
+                                        ratios)
+
+    def _decode_blocks(self, coders, indices, counts, bkeys, ratios):
+        return importance.decode_blocks(self._cfg(), coders, indices, counts,
+                                        bkeys, ratios)
 
     def codelength_nats(self, coded: CodedLatent) -> jnp.ndarray:
         return jnp.sum(importance.codelength_nats(self._cfg(), coded.counts))
@@ -157,6 +172,9 @@ class BeamSearchCoder(_BlockCoder):
     # cost — see beam_search.BeamSearchConfig.shared_pool.  Part of the
     # stream contract: encode and decode must agree on it.
     shared_pool: bool = False
+    # Candidate bit-generator ("fmix" default | "threefry"), part of the
+    # stream contract like n_beams — see rng.normal_stream.
+    stream: str = "fmix"
     aux_variance_ratios: Optional[tuple] = None
 
     def _cfg(self):
@@ -167,7 +185,8 @@ class BeamSearchCoder(_BlockCoder):
             max_partitions=self.max_partitions,
             use_fused_kernel=self.use_fused_kernel,
             dynamic_early_exit=self.dynamic_early_exit,
-            shared_pool=self.shared_pool)
+            shared_pool=self.shared_pool,
+            stream=self.stream)
 
     @property
     def n_samples(self) -> int:
@@ -179,6 +198,14 @@ class BeamSearchCoder(_BlockCoder):
     def _decode_block(self, coder, indices, count, bkey, ratios):
         return beam_search.decode_block(self._cfg(), coder, indices, count,
                                         bkey, ratios)
+
+    def _encode_blocks(self, targets, coders, bkeys, ratios):
+        return beam_search.encode_blocks(self._cfg(), targets, coders, bkeys,
+                                         ratios)
+
+    def _decode_blocks(self, coders, indices, counts, bkeys, ratios):
+        return beam_search.decode_blocks(self._cfg(), coders, indices, counts,
+                                         bkeys, ratios)
 
     def codelength_nats(self, coded: CodedLatent) -> jnp.ndarray:
         return jnp.sum(self._cfg().codelength_nats(coded.counts))

@@ -49,6 +49,9 @@ class ImportanceCoderConfig:
     candidate_chunk: int = 1024
     # See BeamSearchConfig.dynamic_early_exit (same trade-off).
     dynamic_early_exit: bool = False
+    # Proposal bit-generator, part of the stream contract (see
+    # rng.normal_stream): "fmix" (default) | "threefry".
+    stream: str = "fmix"
 
     @property
     def num_candidates(self) -> int:
@@ -85,7 +88,8 @@ def _argmax_candidate(cfg: ImportanceCoderConfig, skey,
 
     def chunk_step(carry, c):
         best_w, best_idx, best_eps = carry
-        eps = rng.normal_stream(jax.random.fold_in(skey, c), (C, D))
+        eps = rng.normal_stream(jax.random.fold_in(skey, c), (C, D),
+                                stream=cfg.stream)
         if log_weighting_fn is not None:
             logw = log_weighting_fn(eps)
         else:
@@ -109,7 +113,8 @@ def _argmax_candidate(cfg: ImportanceCoderConfig, skey,
 def _regen_candidate(cfg: ImportanceCoderConfig, skey, index, dim: int):
     """Decode side: regenerate exactly the winning proposal from its index."""
     C = cfg.chunk_size
-    eps = rng.normal_stream(jax.random.fold_in(skey, index // C), (C, dim))
+    eps = rng.normal_stream(jax.random.fold_in(skey, index // C), (C, dim),
+                            stream=cfg.stream)
     return eps[index % C]
 
 
@@ -156,6 +161,26 @@ def decode_gaussian_importance_sample(coder: GaussianParams, index, key,
     return coder.loc + coder.scale * eps
 
 
+def _encode_step(cfg: ImportanceCoderConfig, n, block_key, ratios, carry, t):
+    """One partition step for one block; carry = (target, coder), returns
+    (new carry, chosen index) — a no-op passthrough for t >= n."""
+    tgt, cod = carry
+    i = n - 1 - t
+    ratio = aux_variance_ratio(i, ratios)
+    aux_var = ratio * cod.var
+    aux_t = auxiliary_target(tgt, cod, aux_var)
+    aux_scale = jnp.sqrt(aux_var)
+    # Standardize the aux pair w.r.t. the (zero-mean) aux coder.
+    std_t = GaussianParams(aux_t.loc / aux_scale, aux_t.scale / aux_scale)
+    idx, eps = _argmax_candidate(cfg, rng.step_key(block_key, t), std_t)
+    aux_sample = aux_scale * eps
+    new_tgt = conditional_target(tgt, cod, aux_var, aux_sample)
+    new_cod = conditional_coder(cod, aux_var, aux_sample)
+    active = t < n
+    carry = tree_where(active, (new_tgt, new_cod), (tgt, cod))
+    return carry, jnp.where(active, idx, 0)
+
+
 def encode_block(cfg: ImportanceCoderConfig, target: GaussianParams,
                  coder: GaussianParams, block_key,
                  ratios: Optional[jnp.ndarray] = None) -> CodedBlock:
@@ -174,21 +199,7 @@ def encode_block(cfg: ImportanceCoderConfig, target: GaussianParams,
                     cfg.max_partitions)
 
     def step(carry, t):
-        tgt, cod = carry
-        i = n - 1 - t
-        ratio = aux_variance_ratio(i, ratios)
-        aux_var = ratio * cod.var
-        aux_t = auxiliary_target(tgt, cod, aux_var)
-        aux_scale = jnp.sqrt(aux_var)
-        # Standardize the aux pair w.r.t. the (zero-mean) aux coder.
-        std_t = GaussianParams(aux_t.loc / aux_scale, aux_t.scale / aux_scale)
-        idx, eps = _argmax_candidate(cfg, rng.step_key(block_key, t), std_t)
-        aux_sample = aux_scale * eps
-        new_tgt = conditional_target(tgt, cod, aux_var, aux_sample)
-        new_cod = conditional_coder(cod, aux_var, aux_sample)
-        active = t < n
-        carry = tree_where(active, (new_tgt, new_cod), (tgt, cod))
-        return carry, jnp.where(active, idx, 0)
+        return _encode_step(cfg, n, block_key, ratios, carry, t)
 
     if cfg.dynamic_early_exit:
         # Early-exit loop (see beam_search.encode_block): indices are
@@ -209,28 +220,65 @@ def encode_block(cfg: ImportanceCoderConfig, target: GaussianParams,
     return CodedBlock(indices=indices, count=n, sample=final_coder.loc)
 
 
+def encode_blocks(cfg: ImportanceCoderConfig, targets: GaussianParams,
+                  coders: GaussianParams, bkeys,
+                  ratios: Optional[jnp.ndarray] = None) -> CodedBlock:
+    """Batched encode of N blocks with partition early exit — the partition
+    scan is outermost so one scalar ``lax.cond`` skips all steps past the
+    batch max count (see beam_search.encode_blocks for the full rationale)."""
+    N, P = targets.loc.shape[0], cfg.max_partitions
+    kls = jax.vmap(lambda t, c: jnp.sum(kl_divergence(t, c)))(targets, coders)
+    n = jnp.minimum(num_partitions(kls, cfg.kl_per_partition),
+                    cfg.max_partitions)
+    n_max = jnp.max(n)
+
+    step_v = jax.vmap(
+        lambda nb, bk, carry, t: _encode_step(cfg, nb, bk, ratios, carry, t),
+        in_axes=(0, 0, 0, None))
+
+    def scan_step(carry, t):
+        dists, indices = carry
+        dists, idx = jax.lax.cond(
+            t < n_max,
+            lambda c: step_v(n, bkeys, c, t),
+            lambda c: (c, jnp.zeros((N,), jnp.int32)), dists)
+        return (dists, indices.at[:, t].set(idx)), None
+
+    init = ((targets, coders), jnp.zeros((N, P), jnp.int32))
+    ((_, final_coder), indices), _ = jax.lax.scan(
+        scan_step, init, jnp.arange(P, dtype=jnp.int32))
+    return CodedBlock(indices=indices, count=n, sample=final_coder.loc)
+
+
+def _decode_step(cfg: ImportanceCoderConfig, indices, count, block_key,
+                 ratios, cod, t):
+    """One replay step for one block (carry = conditioned coder)."""
+    D = cod.loc.shape[-1]
+    i = count - 1 - t
+    # The replay chain is pinned op-by-op (utils.pin) so it compiles to
+    # the identical island in every embedding program; notably the
+    # sqrt->square round trip through the carried scale would otherwise
+    # invite algebraic rewrites that differ between encoder-embedded and
+    # standalone decode graphs.
+    ratio = pin(aux_variance_ratio(i, ratios))
+    aux_var = pin(ratio * pin(cod.var))
+    aux_scale = pin(jnp.sqrt(aux_var))
+    eps = pin(_regen_candidate(cfg, rng.step_key(block_key, t),
+                               indices[t], D))
+    new_cod = conditional_coder(cod, aux_var, pin(aux_scale * eps))
+    new_cod = GaussianParams(new_cod.loc, pin(new_cod.scale))
+    return tree_where(t < count, new_cod, cod)
+
+
 def decode_block(cfg: ImportanceCoderConfig, coder: GaussianParams,
                  indices: jnp.ndarray, count, block_key,
                  ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Regenerate the coded sample from (indices, count) (ref coder.py:561-584)."""
-    D = coder.loc.shape[-1]
     count = jnp.minimum(count, cfg.max_partitions)
 
     def step(cod, t):
-        i = count - 1 - t
-        # The replay chain is pinned op-by-op (utils.pin) so it compiles to
-        # the identical island in every embedding program; notably the
-        # sqrt->square round trip through the carried scale would otherwise
-        # invite algebraic rewrites that differ between encoder-embedded and
-        # standalone decode graphs.
-        ratio = pin(aux_variance_ratio(i, ratios))
-        aux_var = pin(ratio * pin(cod.var))
-        aux_scale = pin(jnp.sqrt(aux_var))
-        eps = pin(_regen_candidate(cfg, rng.step_key(block_key, t),
-                                   indices[t], D))
-        new_cod = conditional_coder(cod, aux_var, pin(aux_scale * eps))
-        new_cod = GaussianParams(new_cod.loc, pin(new_cod.scale))
-        return tree_where(t < count, new_cod, cod), None
+        return _decode_step(cfg, indices, count, block_key, ratios,
+                            cod, t), None
 
     if cfg.dynamic_early_exit:
         _, final_coder = jax.lax.while_loop(
@@ -240,6 +288,31 @@ def decode_block(cfg: ImportanceCoderConfig, coder: GaussianParams,
     else:
         final_coder, _ = jax.lax.scan(
             step, coder, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    return final_coder.loc
+
+
+def decode_blocks(cfg: ImportanceCoderConfig, coders: GaussianParams,
+                  indices: jnp.ndarray, counts, bkeys,
+                  ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Batched replay with partition early exit; bit-identical per block to
+    ``decode_block`` (the replay chain is elementwise over D)."""
+    counts = jnp.minimum(counts, cfg.max_partitions)
+    n_max = jnp.max(counts)
+
+    step_v = jax.vmap(
+        lambda idx, cnt, bk, cod, t: _decode_step(cfg, idx, cnt, bk, ratios,
+                                                  cod, t),
+        in_axes=(0, 0, 0, 0, None))
+
+    def scan_step(cod, t):
+        cod = jax.lax.cond(
+            t < n_max,
+            lambda c: step_v(indices, counts, bkeys, c, t),
+            lambda c: c, cod)
+        return cod, None
+
+    final_coder, _ = jax.lax.scan(
+        scan_step, coders, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
     return final_coder.loc
 
 

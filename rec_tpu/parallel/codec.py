@@ -42,13 +42,9 @@ def _encode_padded(coder, target, coding, seed, num_real):
     root = rng.root_key(seed)
     nb = target.loc.shape[0]
     bkeys = jax.vmap(lambda b: rng.block_key(root, b))(jnp.arange(nb))
-    coded = jax.vmap(
-        lambda tb, cb, kb: coder._encode_block(tb, cb, kb, coder._ratios())
-    )(target, coding, bkeys)
-    samples = jax.vmap(
-        lambda cb, ib, n, kb: coder._decode_block(cb, ib, n, kb,
-                                                  coder._ratios())
-    )(coding, coded.indices, coded.count, bkeys)
+    coded = coder._encode_blocks(target, coding, bkeys, coder._ratios())
+    samples = coder._decode_blocks(coding, coded.indices, coded.count,
+                                   bkeys, coder._ratios())
     return coded.indices, coded.count, samples
 
 
@@ -114,7 +110,5 @@ def _decode_padded(coder, coding, indices, counts, seed):
     root = rng.root_key(seed)
     nb = coding.loc.shape[0]
     bkeys = jax.vmap(lambda b: rng.block_key(root, b))(jnp.arange(nb))
-    return jax.vmap(
-        lambda cb, ib, n, kb: coder._decode_block(cb, ib, n, kb,
-                                                  coder._ratios())
-    )(coding, indices, counts, bkeys)
+    return coder._decode_blocks(coding, indices, counts, bkeys,
+                                coder._ratios())
