@@ -58,12 +58,13 @@ class BeamSearchConfig:
     # default stays on the XLA path — see PERF.md.  Selection-only either
     # way: winners/decodes always replay through jax.random in f32.
     use_fused_kernel: bool = False
-    # Opt-in dynamic early exit: run the partition loop as a while_loop that
-    # stops at the data-dependent count instead of the static budget.  Big
-    # runtime win for trained models (counts of 2-4 vs a budget of 24), but
-    # the while_loop program compiles pathologically slowly on the TPU
-    # toolchain (>10 min vs ~1 min for the scan) — enable for long-lived
-    # serving processes where the compile amortizes.
+    # Opt-in while_loop partition loop for the SINGLE-block functions.
+    # Mostly superseded: the default batched path (encode_blocks) already
+    # early-exits at the batch's max data-dependent count via a scalar
+    # lax.cond inside the scan, with none of this option's pathological
+    # compile times (>10 min on the TPU toolchain).  Only useful when
+    # per-block counts vary so wildly within a batch that per-block (not
+    # batch-max) exit pays for the compile.
     dynamic_early_exit: bool = False
     # Candidate bit-generator: "fmix" (murmur3-finalizer counter hash, the
     # default — ~2.5x fewer integer ops on the measured encode bottleneck,

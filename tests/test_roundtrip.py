@@ -369,3 +369,62 @@ class TestFmixStream:
         np.testing.assert_array_equal(n_tf, n_fm)  # same KL => same rate
         # Same rate, so quality should match within a few nats of noise.
         assert q_fm > q_tf - 0.15 * abs(q_tf), (q_tf, q_fm)
+
+
+class TestBatchedBlockEquivalence:
+    """encode_blocks/decode_blocks (partition scan outermost + scalar-cond
+    early exit) must produce EXACTLY what vmap of the per-block functions
+    produces — same streams, same indices, same counts, same samples."""
+
+    def _pair(self, seed, N=5, D=64):
+        rs = np.random.RandomState(seed)
+        t = GaussianParams(
+            jnp.asarray(0.3 * rs.randn(N, D), jnp.float32),
+            jnp.asarray(np.exp(0.1 * rs.randn(N, D)), jnp.float32))
+        c = GaussianParams(jnp.zeros((N, D), jnp.float32),
+                           jnp.ones((N, D), jnp.float32))
+        return t, c
+
+    def test_beam_search(self):
+        from rec_tpu.coding import rng
+        from rec_tpu.coding.beam_search import (BeamSearchConfig,
+                                                decode_block, decode_blocks,
+                                                encode_block, encode_blocks)
+        cfg = BeamSearchConfig(n_beams=4, max_partitions=12)
+        t, c = self._pair(3)
+        bkeys = jax.vmap(lambda b: rng.block_key(rng.root_key(5), b))(
+            jnp.arange(5))
+        batched = encode_blocks(cfg, t, c, bkeys)
+        single = jax.vmap(
+            lambda tb, cb, kb: encode_block(cfg, tb, cb, kb))(t, c, bkeys)
+        np.testing.assert_array_equal(np.asarray(batched.indices),
+                                      np.asarray(single.indices))
+        np.testing.assert_array_equal(np.asarray(batched.count),
+                                      np.asarray(single.count))
+        db = decode_blocks(cfg, c, batched.indices, batched.count, bkeys)
+        ds = jax.vmap(
+            lambda cb, ib, nb, kb: decode_block(cfg, cb, ib, nb, kb)
+        )(c, batched.indices, batched.count, bkeys)
+        np.testing.assert_array_equal(np.asarray(db), np.asarray(ds))
+
+    def test_importance(self):
+        from rec_tpu.coding import rng
+        from rec_tpu.coding.importance import (ImportanceCoderConfig,
+                                               decode_block, decode_blocks,
+                                               encode_block, encode_blocks)
+        cfg = ImportanceCoderConfig(coding_bits=8, max_partitions=12)
+        t, c = self._pair(4)
+        bkeys = jax.vmap(lambda b: rng.block_key(rng.root_key(6), b))(
+            jnp.arange(5))
+        batched = encode_blocks(cfg, t, c, bkeys)
+        single = jax.vmap(
+            lambda tb, cb, kb: encode_block(cfg, tb, cb, kb))(t, c, bkeys)
+        np.testing.assert_array_equal(np.asarray(batched.indices),
+                                      np.asarray(single.indices))
+        np.testing.assert_array_equal(np.asarray(batched.count),
+                                      np.asarray(single.count))
+        db = decode_blocks(cfg, c, batched.indices, batched.count, bkeys)
+        ds = jax.vmap(
+            lambda cb, ib, nb, kb: decode_block(cfg, cb, ib, nb, kb)
+        )(c, batched.indices, batched.count, bkeys)
+        np.testing.assert_array_equal(np.asarray(db), np.asarray(ds))
