@@ -216,6 +216,180 @@ int rec_ac_decode(const std::int64_t* counts, int n_symbols, int precision,
   }
 }
 
+// ---------------------------------------------------------------------------
+// rANS (range asymmetric numeral systems) — the entropy coder the reference
+// declares as a TODO and never ships (ref rec/io/entropy_coding.pyx:304-306).
+// Byte-wise renormalizing rANS with a 32-bit state: decode is a tight
+// divide-free loop (one multiply + binary search per symbol vs the
+// arithmetic coder's interval arithmetic), encode runs the message in
+// reverse (LIFO).  Same modelling interface as the arithmetic coder: a
+// count histogram, EOF = symbol 0.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr std::uint32_t kRansL = 1u << 23;  // state lower bound
+
+// Normalize counts to frequencies summing to exactly 1 << prob_bits, every
+// present symbol keeping freq >= 1.  Deterministic (mirrored bit-for-bit by
+// the Python twin in rec_tpu/io/rans.py — the table is part of the format).
+static int normalize_freqs(const std::int64_t* counts, int n_symbols,
+                           int prob_bits, std::vector<std::uint32_t>& freqs) {
+  const std::uint32_t scale = 1u << prob_bits;
+  u64 total = 0;
+  int present = 0;
+  for (int i = 0; i < n_symbols; ++i) {
+    if (counts[i] < 0) return -3;
+    total += static_cast<u64>(counts[i]);
+    if (counts[i] > 0) present++;
+  }
+  if (total == 0 || present > static_cast<int>(scale)) return -2;
+  freqs.assign(n_symbols, 0);
+  u64 cur = 0;
+  for (int i = 0; i < n_symbols; ++i) {
+    if (counts[i] > 0) {
+      u64 f = (static_cast<u128>(counts[i]) * scale) / total;
+      if (f < 1) f = 1;
+      freqs[i] = static_cast<std::uint32_t>(f);
+      cur += f;
+    }
+  }
+  while (cur != scale) {
+    int j = 0;
+    for (int i = 1; i < n_symbols; ++i)
+      if (freqs[i] > freqs[j]) j = i;
+    if (cur > scale) {
+      u64 d = cur - scale;
+      if (d > freqs[j] - 1) d = freqs[j] - 1;
+      if (d == 0) return -2;  // cannot shrink further (n_symbols ~ scale)
+      freqs[j] -= static_cast<std::uint32_t>(d);
+      cur -= d;
+    } else {
+      freqs[j] += static_cast<std::uint32_t>(scale - cur);
+      cur = scale;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Encode `message` (symbols in [0, n_symbols), counts[sym] > 0) with rANS.
+// Writes bytes into out, sets *out_bytes.  Returns 0 on success.
+int rec_rans_encode(const std::int64_t* counts, int n_symbols, int prob_bits,
+                    const std::int32_t* message, std::int64_t msg_len,
+                    std::uint8_t* out, std::int64_t out_capacity_bytes,
+                    std::int64_t* out_bytes) {
+  if (prob_bits < 2 || prob_bits > 16) return -1;
+  std::vector<std::uint32_t> freqs;
+  int rc = normalize_freqs(counts, n_symbols, prob_bits, freqs);
+  if (rc != 0) return rc;
+  std::vector<std::uint32_t> start(n_symbols + 1, 0);
+  for (int i = 0; i < n_symbols; ++i) start[i + 1] = start[i] + freqs[i];
+
+  std::vector<std::uint8_t> rev;
+  rev.reserve(static_cast<size_t>(msg_len) + 16);
+  std::uint32_t x = kRansL;
+  for (std::int64_t k = msg_len - 1; k >= 0; --k) {  // LIFO
+    const std::int32_t sym = message[k];
+    if (sym < 0 || sym >= n_symbols || freqs[sym] == 0) return -3;
+    const std::uint32_t f = freqs[sym];
+    const std::uint32_t x_max = ((kRansL >> prob_bits) << 8) * f;
+    while (x >= x_max) {
+      rev.push_back(static_cast<std::uint8_t>(x & 0xFFu));
+      x >>= 8;
+    }
+    x = ((x / f) << prob_bits) + (x % f) + start[sym];
+  }
+  const std::int64_t total = 4 + static_cast<std::int64_t>(rev.size());
+  if (total > out_capacity_bytes) return -4;
+  // Final state little-endian first, then the emitted bytes in decode order.
+  out[0] = static_cast<std::uint8_t>(x & 0xFF);
+  out[1] = static_cast<std::uint8_t>((x >> 8) & 0xFF);
+  out[2] = static_cast<std::uint8_t>((x >> 16) & 0xFF);
+  out[3] = static_cast<std::uint8_t>((x >> 24) & 0xFF);
+  for (size_t i = 0; i < rev.size(); ++i) out[4 + i] = rev[rev.size() - 1 - i];
+  *out_bytes = total;
+  return 0;
+}
+
+// Decode until the EOF symbol 0 (inclusive).  Returns 0 on success, -5 if
+// out capacity exhausted, -6 on a corrupt stream.
+int rec_rans_decode(const std::int64_t* counts, int n_symbols, int prob_bits,
+                    const std::uint8_t* data, std::int64_t n_bytes,
+                    std::int32_t* out_msg, std::int64_t out_capacity,
+                    std::int64_t* out_len) {
+  if (prob_bits < 2 || prob_bits > 16) return -1;
+  if (n_bytes < 4) return -6;
+  std::vector<std::uint32_t> freqs;
+  int rc = normalize_freqs(counts, n_symbols, prob_bits, freqs);
+  if (rc != 0) return rc;
+  std::vector<std::uint32_t> start(n_symbols + 1, 0);
+  for (int i = 0; i < n_symbols; ++i) start[i + 1] = start[i] + freqs[i];
+
+  const std::uint32_t mask = (1u << prob_bits) - 1;
+  std::uint32_t x = static_cast<std::uint32_t>(data[0]) |
+                    (static_cast<std::uint32_t>(data[1]) << 8) |
+                    (static_cast<std::uint32_t>(data[2]) << 16) |
+                    (static_cast<std::uint32_t>(data[3]) << 24);
+  std::int64_t i = 4, m = 0;
+  for (;;) {
+    const std::uint32_t slot = x & mask;
+    // Largest j with start[j] <= slot (start partitions [0, scale)).
+    int lo = 0, hi = n_symbols - 1;
+    while (lo < hi) {
+      const int mid = (lo + hi + 1) >> 1;
+      if (start[mid] <= slot)
+        lo = mid;
+      else
+        hi = mid - 1;
+    }
+    const int j = lo;
+    if (freqs[j] == 0) return -6;
+    if (m >= out_capacity) return -5;
+    out_msg[m++] = j;
+    x = freqs[j] * (x >> prob_bits) + slot - start[j];
+    while (x < kRansL) {
+      if (i >= n_bytes) return -6;
+      x = (x << 8) | static_cast<std::uint32_t>(data[i++]);
+    }
+    if (j == 0) {  // EOF
+      *out_len = m;
+      return 0;
+    }
+  }
+}
+
+// Parallel multi-stream rANS encode (same layout as rec_ac_encode_many;
+// offsets in BYTES).
+int rec_rans_encode_many(const std::int64_t* counts, const std::int64_t* counts_off,
+                         const std::int32_t* n_symbols, int prob_bits,
+                         const std::int32_t* messages, const std::int64_t* msg_off,
+                         int num_streams, std::uint8_t* out,
+                         const std::int64_t* out_byte_off, std::int64_t* out_bytes,
+                         std::int32_t* status) {
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw < 1) hw = 1;
+  const int n_threads = num_streams < hw ? num_streams : hw;
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) {
+    threads.emplace_back([&, t]() {
+      for (int sidx = t; sidx < num_streams; sidx += n_threads) {
+        status[sidx] = rec_rans_encode(
+            counts + counts_off[sidx], n_symbols[sidx], prob_bits,
+            messages + msg_off[sidx], msg_off[sidx + 1] - msg_off[sidx],
+            out + out_byte_off[sidx], out_byte_off[sidx + 1] - out_byte_off[sidx],
+            &out_bytes[sidx]);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int sidx = 0; sidx < num_streams; ++sidx)
+    if (status[sidx] != 0) return status[sidx];
+  return 0;
+}
+
 // Parallel multi-stream encode: `num_streams` independent messages coded
 // against per-stream histograms on host threads (per-res-block streams are
 // independent in the .rec format, ref rec/io/utils.py:66-68).

@@ -4,6 +4,7 @@
 from .arithmetic import ArithmeticCoder
 from .container import (default_index_counts, default_nav_counts, read_rec,
                         write_rec)
+from .rans import RansCoder
 
-__all__ = ["ArithmeticCoder", "read_rec", "write_rec",
+__all__ = ["ArithmeticCoder", "RansCoder", "read_rec", "write_rec",
            "default_index_counts", "default_nav_counts"]

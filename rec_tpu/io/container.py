@@ -17,6 +17,12 @@ Differences from the reference, by design:
 
 Default priors match the reference: uniform counts with a +1000 boost over
 EOF for indices (ref utils.py:31-35) and +100 for partition counts.
+
+Entropy-codec selection: ``codec="ac"`` (default, arithmetic coding) or
+``codec="rans"`` (the rANS coder the reference leaves as a TODO, ref
+entropy_coding.pyx:304-306).  The choice is recorded in bit 1 of the
+custom-index-counts flag field, so default-codec files are byte-identical
+to the pre-rANS format and old files read back unchanged.
 """
 
 from __future__ import annotations
@@ -27,9 +33,12 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from .arithmetic import ArithmeticCoder
+from .rans import RansCoder
 
 _STATIC_HEADER = "<IIIIIHHHH"  # little-endian, no padding: a file format must pin byte order
 STATIC_HEADER_SIZE = struct.calcsize(_STATIC_HEADER)  # 28 bytes
+
+_CODEC_RANS_FLAG = 2  # bit 1 of the custom-index-counts header field
 
 
 def default_index_counts(max_index: int) -> np.ndarray:
@@ -50,8 +59,11 @@ def _encode_stream(coder: ArithmeticCoder, symbols: np.ndarray) -> bytes:
     return data
 
 
-def _decode_stream(coder: ArithmeticCoder, data: bytes) -> np.ndarray:
-    message = coder.decode(data, len(data) * 8)
+def _decode_stream(coder, data: bytes) -> np.ndarray:
+    if isinstance(coder, RansCoder):
+        message = coder.decode(data)
+    else:
+        message = coder.decode(data, len(data) * 8)
     return message[:-1] - 1  # strip EOF, undo +1 shift
 
 
@@ -60,7 +72,8 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
               latents: Sequence[Tuple[np.ndarray, np.ndarray]],
               index_counts: Optional[np.ndarray] = None,
               nav_counts: Optional[Sequence[np.ndarray]] = None,
-              residual: Optional[bytes] = None) -> int:
+              residual: Optional[bytes] = None,
+              codec: str = "ac") -> int:
     """Serialize per-latent coded indices to a .rec file.
 
     ``latents``: one (indices (num_blocks, max_partitions), counts
@@ -69,6 +82,8 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
     """
     if len(image_shape) != 3:
         raise ValueError(f"image_shape must be rank 3, got {image_shape!r}")
+    if codec not in ("ac", "rans"):
+        raise ValueError(f"codec must be 'ac' or 'rans', got {codec!r}")
     num_latents = len(latents)
 
     nav_messages, index_messages, num_blocks, nav_maxes = [], [], [], []
@@ -100,14 +115,21 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
                   + [index_counts] * len(index_messages))
     all_messages = ([to_message(nav) for nav in nav_messages]
                     + [to_message(idx) for idx in index_messages])
-    encoded = ArithmeticCoder.encode_many(all_counts, all_messages)
-    nav_codes = [data for data, _ in encoded[: len(nav_messages)]]
-    index_codes = [data for data, _ in encoded[len(nav_messages):]]
+    if codec == "rans":
+        encoded = RansCoder.encode_many(all_counts, all_messages)
+        nav_codes = encoded[: len(nav_messages)]
+        index_codes = encoded[len(nav_messages):]
+    else:
+        encoded = ArithmeticCoder.encode_many(all_counts, all_messages)
+        nav_codes = [data for data, _ in encoded[: len(nav_messages)]]
+        index_codes = [data for data, _ in encoded[len(nav_messages):]]
 
+    index_flags = int(use_custom_index) | (
+        _CODEC_RANS_FLAG if codec == "rans" else 0)
     header = struct.pack(
         _STATIC_HEADER, seed, block_size, max_index,
         image_shape[0], image_shape[1], image_shape[2],
-        int(use_custom_nav), int(use_custom_index), num_latents)
+        int(use_custom_nav), index_flags, num_latents)
     dyn = struct.pack(
         f"<{num_latents}I{num_latents}I{num_latents}I{num_latents}I",
         *num_blocks,
@@ -142,8 +164,10 @@ def read_rec(file_path: str, *,
     (bytes or None)."""
     with open(file_path, "rb") as f:
         (seed, block_size, max_index, h, w, c, use_custom_nav,
-         use_custom_index, num_latents) = struct.unpack(
+         index_flags, num_latents) = struct.unpack(
             _STATIC_HEADER, f.read(STATIC_HEADER_SIZE))
+        use_custom_index = index_flags & 1
+        codec = "rans" if index_flags & _CODEC_RANS_FLAG else "ac"
         dyn_fmt = f"<{num_latents}I{num_latents}I{num_latents}I{num_latents}I"
         dyn = struct.unpack(dyn_fmt, f.read(struct.calcsize(dyn_fmt)))
         num_blocks = dyn[:num_latents]
@@ -168,10 +192,11 @@ def read_rec(file_path: str, *,
     nav_counts_list = (list(nav_counts) if use_custom_nav
                        else [default_nav_counts(m) for m in nav_maxes])
 
-    index_coder = ArithmeticCoder(index_counts)
+    make_coder = RansCoder if codec == "rans" else ArithmeticCoder
+    index_coder = make_coder(index_counts)
     latents: List[Tuple[np.ndarray, np.ndarray]] = []
     for li in range(num_latents):
-        counts = _decode_stream(ArithmeticCoder(nav_counts_list[li]),
+        counts = _decode_stream(make_coder(nav_counts_list[li]),
                                 nav_codes[li]).astype(np.int32)
         flat = _decode_stream(index_coder, index_codes[li]).astype(np.int32)
         assert len(counts) == num_blocks[li], "corrupt .rec: block count"

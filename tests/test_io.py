@@ -74,6 +74,98 @@ class TestArithmeticCoder:
         np.testing.assert_array_equal(ac.decode(data, nbits), [0])
 
 
+class TestRansCoder:
+    """rANS coder (the entropy coder the reference leaves as a TODO,
+    ref rec/io/entropy_coding.pyx:304-306)."""
+
+    def test_native_available(self):
+        from rec_tpu.io.rans import _load_rans
+        assert _load_rans() is not None, "C++ rANS coder failed to build"
+
+    def test_roundtrip(self):
+        from rec_tpu.io import RansCoder
+        rs = np.random.RandomState(10)
+        counts = np.ones(65, np.int64)
+        counts[1:] += rs.randint(1, 100, size=64)
+        rc = RansCoder(counts)
+        msg = _random_message(rs, 65, 2000)
+        data = rc.encode(msg)
+        np.testing.assert_array_equal(rc.decode(data), msg)
+
+    def test_codelength_near_entropy(self):
+        from rec_tpu.io import RansCoder
+        rs = np.random.RandomState(11)
+        counts = np.ones(33, np.int64)
+        counts[1:] += rs.randint(1, 50, size=32)
+        rc = RansCoder(counts)
+        msg = _random_message(rs, 33, 5000)
+        data = rc.encode(msg)
+        p = counts / counts.sum()
+        entropy_bits = -np.sum(np.log2(p[msg]))
+        assert len(data) * 8 < entropy_bits * 1.03 + 64
+
+    def test_native_matches_python(self):
+        """Differential: C++ vs pure-Python twins bit-identical, both ways."""
+        from rec_tpu.io import RansCoder
+        rs = np.random.RandomState(12)
+        counts = np.ones(17, np.int64)
+        counts[1:] += rs.randint(1, 30, size=16)
+        msg = _random_message(rs, 17, 300)
+        nat = RansCoder(counts)
+        pyc = RansCoder(counts, force_python=True)
+        if not nat.native:
+            pytest.skip("native lib unavailable")
+        d1, d2 = nat.encode(msg), pyc.encode(msg)
+        assert d1 == d2
+        np.testing.assert_array_equal(pyc.decode(d1), nat.decode(d2))
+
+    def test_normalize_freqs_matches_native(self):
+        """The normalized table is part of the format: the Python twin's
+        round trip must decode the native encoding even for histograms
+        where naive normalization would disagree (many rare symbols)."""
+        from rec_tpu.io import RansCoder
+        rs = np.random.RandomState(13)
+        counts = np.ones(200, np.int64)
+        counts[1] = 10_000_000  # heavy skew forces the adjust loop
+        counts[2:5] = 0  # absent symbols
+        msg = np.array([1] * 50 + [7, 199, 1, 0], np.int32)
+        nat = RansCoder(counts, prob_bits=8)
+        pyc = RansCoder(counts, prob_bits=8, force_python=True)
+        if not nat.native:
+            pytest.skip("native lib unavailable")
+        assert nat.encode(msg) == pyc.encode(msg)
+
+    def test_skewed_and_tiny(self):
+        from rec_tpu.io import RansCoder
+        counts = np.array([1, 1000000, 1], np.int64)
+        rc = RansCoder(counts)
+        msg = np.array([1] * 500 + [2, 1, 0], np.int32)
+        data = rc.encode(msg)
+        np.testing.assert_array_equal(rc.decode(data), msg)
+        assert len(data) < 24  # highly compressible
+
+    def test_single_symbol_message(self):
+        from rec_tpu.io import RansCoder
+        rc = RansCoder([5, 5, 5])
+        data = rc.encode(np.array([0], np.int32))
+        np.testing.assert_array_equal(rc.decode(data), [0])
+
+    def test_encode_many_matches_single(self):
+        from rec_tpu.io import RansCoder
+        rs = np.random.RandomState(14)
+        counts_list, messages = [], []
+        for i in range(7):
+            n = rs.randint(3, 40)
+            c = np.ones(n, np.int64)
+            c[1:] += rs.randint(1, 60, size=n - 1)
+            counts_list.append(c)
+            messages.append(_random_message(rs, n, rs.randint(2, 400)))
+        many = RansCoder.encode_many(counts_list, messages)
+        for c, m, d in zip(counts_list, messages, many):
+            assert d == RansCoder(c).encode(m)
+            np.testing.assert_array_equal(RansCoder(c).decode(d), m)
+
+
 class TestRecContainer:
     def test_roundtrip(self, tmp_path):
         rs = np.random.RandomState(3)
@@ -93,6 +185,26 @@ class TestRecContainer:
         seed, shape, block_size, out = read_rec(path, max_partitions=8)
         assert seed == 1234 and shape == (32, 32, 3) and block_size == 16
         assert len(out) == len(latents)
+        for (ind, cnt), (ind2, cnt2) in zip(latents, out):
+            np.testing.assert_array_equal(cnt, cnt2)
+            np.testing.assert_array_equal(ind, ind2)
+
+    def test_roundtrip_rans_codec(self, tmp_path):
+        """codec='rans' files round-trip and self-describe (reader needs no
+        codec hint); default-codec files stay byte-identical to before."""
+        rs = np.random.RandomState(5)
+        latents = []
+        for nb in (3, 5):
+            counts = rs.randint(1, 6, size=nb).astype(np.int32)
+            indices = np.zeros((nb, 8), np.int32)
+            for b in range(nb):
+                indices[b, : counts[b]] = rs.randint(0, 20, size=counts[b])
+            latents.append((indices, counts))
+        path = os.path.join(tmp_path, "r.rec")
+        write_rec(path, seed=55, image_shape=(16, 16, 3), block_size=16,
+                  max_index=20, latents=latents, codec="rans")
+        seed, shape, block_size, out = read_rec(path, max_partitions=8)
+        assert seed == 55
         for (ind, cnt), (ind2, cnt2) in zip(latents, out):
             np.testing.assert_array_equal(cnt, cnt2)
             np.testing.assert_array_equal(ind, ind2)
