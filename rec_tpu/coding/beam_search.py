@@ -33,7 +33,7 @@ from . import rng
 from .gauss import (GaussianParams, auxiliary_target, kl_divergence,
                     log_density_ratio)
 from .importance import tree_where
-from .partition import aux_variance_ratio, num_partitions
+from .partition import num_partitions, partition_schedule
 from .utils import pin
 
 
@@ -132,24 +132,25 @@ def _candidate_rows(keys, dim, stream="threefry", dtype=jnp.float32):
 
 
 def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
-                 coder: GaussianParams, n, block_key, ratios, carry, t):
+                 coder: GaussianParams, n, block_key, sched, carry, t):
     """One partition step of the beam search for one latent block.
 
-    ``carry`` = (beams (B, D), hashes (B,), beam_indices (B, P),
-    cum_var (D,)); a no-op (carry passthrough) for t >= n."""
+    ``sched`` = (sqrt_w, sqrt_ca, c_after), the precomputed (P,) closed-form
+    variance schedule (partition.partition_schedule) — the per-step aux
+    math reduces to scalar-row lookups, and the carry needs no cum_var.
+    ``carry`` = (beams (B, D), hashes (B,), beam_indices (B, P)); a no-op
+    (carry passthrough) for t >= n."""
     D = target.loc.shape[-1]
     B, S = cfg.n_beams, cfg.n_samples
     p_var = coder.var
+    sqrt_w, sqrt_ca, c_after = sched
 
     def step(carry, t):
-        beams, hashes, beam_indices, cum_var = carry
-        i = n - 1 - t
-        ratio = aux_variance_ratio(i, ratios)
-        aux_var = ratio * jnp.maximum(p_var - cum_var, 0.0)
-        aux_scale = jnp.sqrt(aux_var)
-        cum_scale = jnp.sqrt(aux_var + cum_var)
+        beams, hashes, beam_indices = carry
+        aux_scale = sqrt_w[t] * coder.scale
+        cum_scale = sqrt_ca[t] * coder.scale
         # Target of the *cumulative* auxiliary variable A_1+...+A_t.
-        aux_t = auxiliary_target(target, coder, aux_var + cum_var)
+        aux_t = auxiliary_target(target, coder, c_after[t] * p_var)
         cum_coder = GaussianParams(jnp.zeros((D,), beams.dtype), cum_scale)
 
         skey = rng.step_key(block_key, t)
@@ -228,8 +229,8 @@ def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
         active = t < n
         carry = tree_where(
             active,
-            (new_beams, new_hashes, new_beam_indices, cum_var + aux_var),
-            (beams, hashes, beam_indices, cum_var))
+            (new_beams, new_hashes, new_beam_indices),
+            (beams, hashes, beam_indices))
         return carry
 
     return step(carry, t)
@@ -239,8 +240,14 @@ def _beam_init(cfg: BeamSearchConfig, D: int):
     B, P = cfg.n_beams, cfg.max_partitions
     return (jnp.zeros((B, D), jnp.float32),
             jnp.full((B,), rng.fnv_init()),
-            jnp.zeros((B, P), jnp.int32),
-            jnp.zeros((D,), jnp.float32))
+            jnp.zeros((B, P), jnp.int32))
+
+
+def _schedule(cfg: BeamSearchConfig, n, ratios):
+    """(sqrt_w, sqrt_ca, c_after): closed-form schedule rows for one block
+    (selection-side — the decode replay pins its own copy)."""
+    w, c_after = partition_schedule(n, cfg.max_partitions, ratios)
+    return jnp.sqrt(w), jnp.sqrt(c_after), c_after
 
 
 def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
@@ -261,9 +268,10 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
     # Clamped to the static scan budget — see importance.encode_block.
     n = jnp.minimum(num_partitions(total_kl, cfg.kl_per_partition),
                     cfg.max_partitions)
+    sched = _schedule(cfg, n, ratios)
 
     def step(carry, t):
-        return _encode_step(cfg, target, coder, n, block_key, ratios,
+        return _encode_step(cfg, target, coder, n, block_key, sched,
                             carry, t), None
 
     init = _beam_init(cfg, D)
@@ -271,12 +279,12 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
         # Stops at the data-dependent partition count (under vmap over
         # latent blocks, at the batch max); the body is a no-op for
         # finished lanes (tree_where).
-        (_, (beams, _, beam_indices, _)) = jax.lax.while_loop(
+        (_, (beams, _, beam_indices)) = jax.lax.while_loop(
             lambda c: c[0] < n,
             lambda c: (c[0] + 1, step(c[1], c[0])[0]),
             (jnp.asarray(0, jnp.int32), init))
     else:
-        (beams, _, beam_indices, _), _ = jax.lax.scan(
+        (beams, _, beam_indices), _ = jax.lax.scan(
             step, init, jnp.arange(P, dtype=jnp.int32))
 
     return BeamCodedBlock(indices=beam_indices[0], count=n,
@@ -306,121 +314,103 @@ def encode_blocks(cfg: BeamSearchConfig, targets: GaussianParams,
     n = jnp.minimum(num_partitions(kls, cfg.kl_per_partition),
                     cfg.max_partitions)
     n_max = jnp.max(n)
+    sched = jax.vmap(lambda nb: _schedule(cfg, nb, ratios))(n)  # (N, P) rows
 
     step_v = jax.vmap(
-        lambda tgt, cod, nb, bk, carry, t: _encode_step(
-            cfg, tgt, cod, nb, bk, ratios, carry, t),
-        in_axes=(0, 0, 0, 0, 0, None))
+        lambda tgt, cod, nb, bk, sch, carry, t: _encode_step(
+            cfg, tgt, cod, nb, bk, sch, carry, t),
+        in_axes=(0, 0, 0, 0, 0, 0, None))
 
     def scan_step(carry, t):
         carry = jax.lax.cond(
             t < n_max,
-            lambda c: step_v(targets, coders, n, bkeys, c, t),
+            lambda c: step_v(targets, coders, n, bkeys, sched, c, t),
             lambda c: c, carry)
         return carry, None
 
     N, B = n.shape[0], cfg.n_beams
     init = (jnp.zeros((N, B, D), jnp.float32),
             jnp.full((N, B), rng.fnv_init()),
-            jnp.zeros((N, B, P), jnp.int32),
-            jnp.zeros((N, D), jnp.float32))
-    (beams, _, beam_indices, _), _ = jax.lax.scan(
+            jnp.zeros((N, B, P), jnp.int32))
+    (beams, _, beam_indices), _ = jax.lax.scan(
         scan_step, init, jnp.arange(P, dtype=jnp.int32))
     return BeamCodedBlock(indices=beam_indices[:, 0], count=n,
                           sample=beams[:, 0] + coders.loc)
 
 
-def _decode_step(cfg: BeamSearchConfig, coder: GaussianParams,
-                 indices: jnp.ndarray, count, block_key, ratios, carry, t):
-    """One replay step for one block; carry = (sample, history, cum_var)."""
-    D = coder.loc.shape[-1]
-    p_var = coder.var
+def _replay_keys(cfg: BeamSearchConfig, block_key, indices, count):
+    """Per-step winning-candidate stream keys for one block — pure integer.
 
-    def step(carry, t):
-        sample, h, cum_var = carry
-        i = count - 1 - t
-        # Every float op on this chain is pinned (utils.pin) so the replay
-        # compiles to the identical island in the standalone decoder, the
-        # encoder's embedded replay, and the models' in-graph passes.
-        ratio = pin(aux_variance_ratio(i, ratios))
-        aux_var = pin(ratio * jnp.maximum(p_var - cum_var, 0.0))
-        aux_scale = pin(jnp.sqrt(aux_var))
+    The history-hash chain h_{t+1} = fnv(h_t, idx_t) (frozen past ``count``)
+    and the fold_in key tree are integer-exact by definition, so the whole
+    (P,) key vector is computed up front with no sequential float carry —
+    this is what lets the replay run as ONE batched generation instead of a
+    per-step loop.  The static unroll is P*2 scalar u32 ops that XLA fuses
+    into a single kernel."""
+    P = cfg.max_partitions
+    hs, h = [], rng.fnv_init()
+    for t in range(P):
+        hs.append(h)
+        h = jnp.where(t < count, rng.fnv_step(h, indices[t]), h)
+    hashes = jnp.stack(hs)  # (P,) u32
 
+    def per_t(t, h, idx):
         skey = rng.step_key(block_key, t)
-        idx = indices[t]
-        # Regenerate exactly one candidate row from its per-candidate key —
-        # O(D) instead of O(S*D) per partition.
         if cfg.shared_pool:
-            key = rng.candidate_key(rng.pool_key(skey), idx)
-        else:
-            key = rng.candidate_key(rng.beam_stream_key(skey, h), idx)
-        eps = pin(rng.normal_stream(key, (D,), stream=cfg.stream))
-        new_sample = sample + pin(aux_scale * eps)
-        new_h = rng.fnv_step(h, idx)
+            return rng.candidate_key(rng.pool_key(skey), idx)
+        return rng.candidate_key(rng.beam_stream_key(skey, h), idx)
 
-        carry = tree_where(t < count,
-                           (new_sample, new_h, cum_var + aux_var),
-                           (sample, h, cum_var))
-        return carry
-
-    return step(carry, t)
+    return jax.vmap(per_t)(jnp.arange(P), hashes, indices)  # (P, 2) raw keys
 
 
-def _decode_init(D: int):
-    return (jnp.zeros((D,), jnp.float32), rng.fnv_init(),
-            jnp.zeros((D,), jnp.float32))
+def _replay_flat(cfg: BeamSearchConfig, coders: GaussianParams,
+                 indices: jnp.ndarray, counts, bkeys, ratios) -> jnp.ndarray:
+    """Flat (loop-free) replay of N blocks.
+
+    The per-partition recurrence telescopes to scalar weights
+    (partition.partition_schedule), and stream keys are integer-exact, so
+    the replay is: key chain -> ONE batched (N, P, D) generation -> one
+    masked contraction
+
+        sample = p_scale * sum_t sqrt(w_t) * eps_t + loc.
+
+    This replaces a ~P-step pinned scan (hundreds of tiny kernels; ~123 us
+    per step of pure dispatch on a v5e chip) with ~6 kernels.  The float
+    stages are pinned (utils.pin) at op granularity on the critical chain so
+    the replay compiles to the identical islands in the standalone decoder,
+    the encoder's embedded replay, and the models' in-graph passes
+    (SURVEY.md §7 hard part 1)."""
+    N, D = coders.loc.shape
+    P = cfg.max_partitions
+    counts = jnp.minimum(counts, P)
+
+    keys = jax.vmap(lambda bk, idx, cnt: _replay_keys(cfg, bk, idx, cnt))(
+        bkeys, indices, counts)                          # (N, P, 2)
+    w, _ = jax.vmap(
+        lambda cnt: partition_schedule(cnt, P, ratios))(counts)  # (N, P)
+    sqrt_w = pin(jnp.sqrt(pin(w)))
+    eps = pin(_candidate_rows(keys, D, cfg.stream))      # (N, P, D)
+    acc = pin(jnp.einsum("np,npd->nd", sqrt_w, eps))
+    return pin(coders.scale * acc) + coders.loc
 
 
 def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,
                  indices: jnp.ndarray, count, block_key,
                  ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Replay the winning beam's candidate streams (ref
-    beam_search_coder.py:523-547)."""
-    D = coder.loc.shape[-1]
-    count = jnp.minimum(count, cfg.max_partitions)
-
-    def step(carry, t):
-        return _decode_step(cfg, coder, indices, count, block_key, ratios,
-                            carry, t), None
-
-    init = _decode_init(D)
-    if cfg.dynamic_early_exit:
-        (_, (sample, _, _)) = jax.lax.while_loop(
-            lambda c: c[0] < count,
-            lambda c: (c[0] + 1, step(c[1], c[0])[0]),
-            (jnp.asarray(0, jnp.int32), init))
-    else:
-        (sample, _, _), _ = jax.lax.scan(
-            step, init, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
-    return sample + coder.loc
+    beam_search_coder.py:523-547) — the single-block view of the flat
+    batched replay (bit-identical: it IS the batched path at N=1)."""
+    coders = GaussianParams(coder.loc[None], coder.scale[None])
+    sample = _replay_flat(cfg, coders, indices[None],
+                          jnp.asarray(count)[None], block_key[None], ratios)
+    return sample[0]
 
 
 def decode_blocks(cfg: BeamSearchConfig, coders: GaussianParams,
                   indices: jnp.ndarray, counts, bkeys,
                   ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Batched replay of N blocks with partition early exit (the decode
-    analogue of ``encode_blocks``); bit-identical per block to
-    ``decode_block`` — the replay chain is elementwise over D, so batching
-    cannot perturb its float ops, and the pinned ops stay pinned."""
-    N, D = coders.loc.shape
-    counts = jnp.minimum(counts, cfg.max_partitions)
-    n_max = jnp.max(counts)
-
-    step_v = jax.vmap(
-        lambda cod, idx, cnt, bk, carry, t: _decode_step(
-            cfg, cod, idx, cnt, bk, ratios, carry, t),
-        in_axes=(0, 0, 0, 0, 0, None))
-
-    def scan_step(carry, t):
-        carry = jax.lax.cond(
-            t < n_max,
-            lambda c: step_v(coders, indices, counts, bkeys, c, t),
-            lambda c: c, carry)
-        return carry, None
-
-    init = (jnp.zeros((N, D), jnp.float32),
-            jnp.full((N,), rng.fnv_init()),
-            jnp.zeros((N, D), jnp.float32))
-    (sample, _, _), _ = jax.lax.scan(
-        scan_step, init, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
-    return sample + coders.loc
+    """Batched replay of N blocks (the decode analogue of
+    ``encode_blocks``); bit-identical per block to ``decode_block`` — the
+    replay is elementwise over D and contracts over the step axis with a
+    fixed reduction order, so batching cannot perturb its float ops."""
+    return _replay_flat(cfg, coders, indices, counts, bkeys, ratios)

@@ -24,7 +24,8 @@ from . import rng
 from .gauss import (GaussianParams, auxiliary_target, conditional_coder,
                     conditional_target, kl_divergence, log_density_ratio,
                     standard_normal_like)
-from .partition import aux_variance_ratio, num_partitions
+from .partition import (aux_variance_ratio, num_partitions,
+                        partition_schedule)
 from .utils import pin
 
 
@@ -250,70 +251,57 @@ def encode_blocks(cfg: ImportanceCoderConfig, targets: GaussianParams,
     return CodedBlock(indices=indices, count=n, sample=final_coder.loc)
 
 
-def _decode_step(cfg: ImportanceCoderConfig, indices, count, block_key,
-                 ratios, cod, t):
-    """One replay step for one block (carry = conditioned coder)."""
-    D = cod.loc.shape[-1]
-    i = count - 1 - t
-    # The replay chain is pinned op-by-op (utils.pin) so it compiles to
-    # the identical island in every embedding program; notably the
-    # sqrt->square round trip through the carried scale would otherwise
-    # invite algebraic rewrites that differ between encoder-embedded and
-    # standalone decode graphs.
-    ratio = pin(aux_variance_ratio(i, ratios))
-    aux_var = pin(ratio * pin(cod.var))
-    aux_scale = pin(jnp.sqrt(aux_var))
-    eps = pin(_regen_candidate(cfg, rng.step_key(block_key, t),
-                               indices[t], D))
-    new_cod = conditional_coder(cod, aux_var, pin(aux_scale * eps))
-    new_cod = GaussianParams(new_cod.loc, pin(new_cod.scale))
-    return tree_where(t < count, new_cod, cod)
+def _replay_flat(cfg: ImportanceCoderConfig, coders: GaussianParams,
+                 indices: jnp.ndarray, counts, bkeys, ratios) -> jnp.ndarray:
+    """Flat (loop-free) replay of N blocks.
+
+    The conditioned-coder recurrence's variance chain is index-independent
+    and telescopes to scalar weights (partition.partition_schedule), and the
+    per-step proposal keys are addressed purely by (step, index), so the
+    replay is one batched (N, P, D) row regeneration + one masked
+    contraction  sample = p_scale * sum_t sqrt(w_t) * eps_t + loc  — ~6
+    kernels instead of a P-step pinned scan.  Float stages are pinned
+    (utils.pin) so the replay compiles to identical islands in every
+    embedding program (see beam_search._replay_flat for the full rationale).
+    """
+    N, D = coders.loc.shape
+    P = cfg.max_partitions
+    C = cfg.chunk_size
+    counts = jnp.minimum(counts, P)
+
+    def rows_for(bk, idx_row):
+        def per_t(t, idx):
+            ck = jax.random.fold_in(rng.step_key(bk, t), idx // C)
+            return rng.normal_stream_row(ck, idx % C, C, D,
+                                         stream=cfg.stream)
+        return jax.vmap(per_t)(jnp.arange(P), idx_row)
+
+    eps = pin(jax.vmap(rows_for)(bkeys, indices))        # (N, P, D)
+    w, _ = jax.vmap(
+        lambda cnt: partition_schedule(cnt, P, ratios))(counts)  # (N, P)
+    sqrt_w = pin(jnp.sqrt(pin(w)))
+    acc = pin(jnp.einsum("np,npd->nd", sqrt_w, eps))
+    return pin(coders.scale * acc) + coders.loc
 
 
 def decode_block(cfg: ImportanceCoderConfig, coder: GaussianParams,
                  indices: jnp.ndarray, count, block_key,
                  ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Regenerate the coded sample from (indices, count) (ref coder.py:561-584)."""
-    count = jnp.minimum(count, cfg.max_partitions)
-
-    def step(cod, t):
-        return _decode_step(cfg, indices, count, block_key, ratios,
-                            cod, t), None
-
-    if cfg.dynamic_early_exit:
-        _, final_coder = jax.lax.while_loop(
-            lambda c: c[0] < count,
-            lambda c: (c[0] + 1, step(c[1], c[0])[0]),
-            (jnp.asarray(0, jnp.int32), coder))
-    else:
-        final_coder, _ = jax.lax.scan(
-            step, coder, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
-    return final_coder.loc
+    """Regenerate the coded sample from (indices, count) (ref
+    coder.py:561-584) — the single-block view of the flat batched replay
+    (bit-identical: it IS the batched path at N=1)."""
+    coders = GaussianParams(coder.loc[None], coder.scale[None])
+    sample = _replay_flat(cfg, coders, indices[None],
+                          jnp.asarray(count)[None], block_key[None], ratios)
+    return sample[0]
 
 
 def decode_blocks(cfg: ImportanceCoderConfig, coders: GaussianParams,
                   indices: jnp.ndarray, counts, bkeys,
                   ratios: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Batched replay with partition early exit; bit-identical per block to
-    ``decode_block`` (the replay chain is elementwise over D)."""
-    counts = jnp.minimum(counts, cfg.max_partitions)
-    n_max = jnp.max(counts)
-
-    step_v = jax.vmap(
-        lambda idx, cnt, bk, cod, t: _decode_step(cfg, idx, cnt, bk, ratios,
-                                                  cod, t),
-        in_axes=(0, 0, 0, 0, None))
-
-    def scan_step(cod, t):
-        cod = jax.lax.cond(
-            t < n_max,
-            lambda c: step_v(indices, counts, bkeys, c, t),
-            lambda c: c, cod)
-        return cod, None
-
-    final_coder, _ = jax.lax.scan(
-        scan_step, coders, jnp.arange(cfg.max_partitions, dtype=jnp.int32))
-    return final_coder.loc
+    """Batched replay; bit-identical per block to ``decode_block`` (the
+    replay is elementwise over D with a fixed-order step contraction)."""
+    return _replay_flat(cfg, coders, indices, counts, bkeys, ratios)
 
 
 def codelength_nats(cfg: ImportanceCoderConfig, count) -> jnp.ndarray:

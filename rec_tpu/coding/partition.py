@@ -50,6 +50,44 @@ def aux_variance_ratio(index, ratios: Optional[jnp.ndarray] = None) -> jnp.ndarr
     return jnp.where(index >= ratios.shape[0], power, ratios[idx])
 
 
+def partition_schedule(count, max_partitions: int,
+                       ratios: Optional[jnp.ndarray] = None):
+    """Closed-form auxiliary-variance schedule for one block.
+
+    The per-partition recurrence (ref coder.py:505-540)
+
+        aux_var_t = r_{i_t} * (p_var - cum_var_t),   i_t = count - 1 - t
+        cum_var_{t+1} = cum_var_t + aux_var_t
+
+    telescopes to  aux_var_t = p_var * w_t  with purely scalar weights
+
+        w_t = r_{i_t} * prod_{u<t} (1 - r_{i_u}),
+
+    so the whole schedule is one vectorized op over the static
+    ``max_partitions`` budget instead of a sequential carry — this is what
+    lets the decode replay run as a single batched generation + contraction
+    (see beam_search.decode_blocks) rather than a per-step loop.
+
+    Returns ``(w, c_after)`` of shape (max_partitions,): the per-step
+    variance weights (0 for t >= count) and the cumulative variance
+    fraction after each step, c_after[t] = sum_{u<=t} w_u.  For the power
+    law r_{i=0} = 1, so c_after[count-1] == 1 exactly (the final partition
+    absorbs all remaining variance); learned tables with r < 1 leave the
+    same residual the reference's recurrence does.  ``max(1-r, 0)`` mirrors
+    the recurrence's ``max(p_var - cum, 0)`` clamp for pathological r > 1.
+    """
+    t = jnp.arange(max_partitions)
+    i = jnp.maximum(count - 1 - t, 0)  # clamp dead lanes away from (0)**-p
+    r = aux_variance_ratio(i, ratios)
+    r = jnp.where(t < count, r, 0.0)
+    one_minus = jnp.maximum(1.0 - r, 0.0)
+    cp = jnp.cumprod(one_minus)                     # prod_{u<=t}
+    prod_before = jnp.concatenate([jnp.ones((1,), cp.dtype), cp[:-1]])
+    w = r * prod_before
+    c_after = 1.0 - cp
+    return w, c_after
+
+
 def num_partitions(total_kl, kl_per_partition) -> jnp.ndarray:
     """ceil(KL / Omega), clamped to >= 1 (the reference always emits at least
     one index: its final coded_sample runs unconditionally, ref

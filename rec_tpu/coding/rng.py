@@ -125,6 +125,24 @@ def normal_stream(key: jax.Array, shape, dtype=jnp.float32,
     return _bits_to_normal_f32(fmix_bits(kd[0], kd[1], ctr)).reshape(shape)
 
 
+def normal_stream_row(key: jax.Array, row, chunk_rows: int, dim: int,
+                      stream: str = "threefry") -> jnp.ndarray:
+    """Row ``row`` of ``normal_stream(key, (chunk_rows, dim))``.
+
+    For "fmix" the row is generated directly from its counter offset
+    (row*dim .. row*dim+dim) — bit-exact to the chunk's row by the
+    counter-layout definition, O(dim) instead of O(chunk_rows*dim).  For
+    "threefry" jax.random's counter layout is not exposed per-slice, so the
+    conservative path materializes the chunk and slices (XLA may fuse the
+    generation into the gather)."""
+    if stream == "fmix":
+        kd = jax.random.key_data(key).astype(jnp.uint32)
+        ctr = (jnp.asarray(row, jnp.uint32) * jnp.uint32(dim)
+               + jnp.arange(dim, dtype=jnp.uint32))
+        return _bits_to_normal_f32(fmix_bits(kd[0], kd[1], ctr))
+    return normal_stream(key, (chunk_rows, dim), stream=stream)[row]
+
+
 _GOLDEN = np.uint32(0x9E3779B9)
 _LO_F32 = np.float32(np.nextafter(np.float32(-1.0), np.float32(0.0)))
 
