@@ -14,9 +14,13 @@ TPU-first re-design:
     Pallas kernel for the fully-fused generate+score path lives in
     rec_tpu/ops/beam_score.py);
   * beam selection is ``lax.top_k`` over B*S;
-  * candidate streams are counter-based: key = fold(step, FNV-1a(history)),
-    replacing the reference's biased mod-10007 hash (beam_search_coder.py:32)
-    with proper mixing while keeping the (index-prefix -> stream) contract;
+  * candidate streams are counter-based and row-addressed: ONE key per beam,
+    key = fold(step, FNV-1a(history)) — replacing the reference's biased
+    mod-10007 hash (beam_search_coder.py:32) with proper mixing while
+    keeping the (index-prefix -> stream) contract — and candidate s = rows
+    [s*D, (s+1)*D) of that key's counter space, so the winning row (and the
+    decoder) regenerates from (key, index) with zero per-candidate key
+    derivation;
   * everything ``vmap``s over latent blocks and ``shard_map``s over chips.
 """
 
@@ -102,33 +106,12 @@ class BeamCodedBlock(NamedTuple):
 
 
 def _use_fused(cfg: BeamSearchConfig) -> bool:
-    if not cfg.use_fused_kernel or cfg.stream != "threefry":
+    if not cfg.use_fused_kernel or cfg.stream not in ("fmix", "threefry"):
         return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
-
-
-def _candidate_keys(cfg: BeamSearchConfig, skey, hashes):
-    """(B, S) per-candidate stream keys (see rng.candidate_key)."""
-    S = cfg.n_samples
-
-    def per_beam(h):
-        bk = rng.beam_stream_key(skey, h)
-        return jax.vmap(lambda s: rng.candidate_key(bk, s))(jnp.arange(S))
-
-    return jax.vmap(per_beam)(hashes)
-
-
-def _candidate_rows(keys, dim, stream="threefry", dtype=jnp.float32):
-    """Standard-normal rows for a pytree of keys with arbitrary leading
-    shape; each key yields an independent (dim,) stream."""
-    flat = keys.reshape(-1, keys.shape[-1])
-    rows = jax.vmap(
-        lambda k: rng.normal_stream(k, (dim,), dtype=dtype, stream=stream)
-    )(flat)
-    return rows.reshape(keys.shape[:-1] + (dim,))
 
 
 def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
@@ -164,9 +147,8 @@ def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
             from ..ops.beam_score import _quadratic_coeffs
 
             pkey = rng.pool_key(skey)
-            pool_keys = jax.vmap(lambda s: rng.candidate_key(pkey, s))(
-                jnp.arange(S))
-            eps_pool = _candidate_rows(pool_keys, D, cfg.stream)  # (S, D) f32
+            eps_pool = rng.normal_stream(pkey, (S, D),
+                                         stream=cfg.stream)  # (S, D) f32
             qa, qb, qc_sum = _quadratic_coeffs(aux_t, cum_coder)
             sdt = jnp.dtype(cfg.score_dtype)
             const_b = jnp.sum((qa * beams + qb) * beams, axis=-1) + qc_sum
@@ -178,33 +160,41 @@ def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
             e2 = jnp.einsum("d,sd->s", c2, jnp.square(eps_lp),
                             preferred_element_type=jnp.float32)
             scores = const_b[:, None] + cross + e2[None, :]
-            cand_keys = None
-        elif _use_fused(cfg):
-            cand_keys = _candidate_keys(cfg, skey, hashes)        # (B, S) keys
-            from ..ops.beam_score import _quadratic_coeffs
-            from ..ops.fused_beam_step import fused_candidate_scores
-
-            qa, qb, qc = _quadratic_coeffs(aux_t, cum_coder)
-            ckd = jax.vmap(jax.vmap(jax.random.key_data))(cand_keys)
-            scores = fused_candidate_scores(
-                ckd.astype(jnp.uint32), beams, aux_scale, qa, qb, qc,
-                S=S, D=D)
+            beam_keys = None
         else:
-            cand_keys = _candidate_keys(cfg, skey, hashes)        # (B, S) keys
-            # Scoring runs in reduced precision: generate f32 and cast (the
-            # scored value must be the ROUNDING of the f32 sample the
-            # decoder regenerates); the cast fuses into the reduction so no
-            # f32 candidate tensor reaches HBM.  Selection-only: winners are
-            # regenerated in f32 below, so the carried beams stay exactly
-            # replay-consistent.
-            sdt = jnp.dtype(cfg.score_dtype)
-            eps_lp = _candidate_rows(cand_keys, D,
-                                     cfg.stream).astype(sdt)  # (B, S, D)
-            combined_lp = (beams.astype(sdt)[:, None, :]
-                           + aux_scale.astype(sdt) * eps_lp)
-            scores = jnp.sum(
-                log_density_ratio(combined_lp.astype(jnp.float32),
-                                  aux_t, cum_coder), axis=-1)
+            # Row-addressed candidate streams: ONE key per beam (from its
+            # index history), candidate s = rows [s*D, (s+1)*D) of that
+            # key's counter space — the same chunk addressing the
+            # importance sampler uses.  vs the earlier per-candidate
+            # fold_in tree this removes B*S threefry evaluations per step
+            # (~25 us at production size) and gives the fused kernel a
+            # pure (key, counter-offset) addressing scheme.
+            beam_keys = jax.vmap(
+                lambda h: rng.beam_stream_key(skey, h))(hashes)   # (B, 2)
+            eps_gen = jax.vmap(
+                lambda bk: rng.normal_stream(bk, (S, D), stream=cfg.stream))
+            if _use_fused(cfg):
+                from ..ops.beam_score import _quadratic_coeffs
+                from ..ops.fused_beam_step import fused_candidate_scores
+
+                qa, qb, qc = _quadratic_coeffs(aux_t, cum_coder)
+                scores = fused_candidate_scores(
+                    beam_keys.astype(jnp.uint32), beams, aux_scale, qa, qb,
+                    qc, S=S, D=D, stream=cfg.stream)
+            else:
+                # Scoring runs in reduced precision: generate f32 and cast
+                # (the scored value must be the ROUNDING of the f32 sample
+                # the decoder regenerates); the cast fuses into the
+                # reduction so no f32 candidate tensor reaches HBM.
+                # Selection-only: winners are regenerated in f32 below, so
+                # the carried beams stay exactly replay-consistent.
+                sdt = jnp.dtype(cfg.score_dtype)
+                eps_lp = eps_gen(beam_keys).astype(sdt)        # (B, S, D)
+                combined_lp = (beams.astype(sdt)[:, None, :]
+                               + aux_scale.astype(sdt) * eps_lp)
+                scores = jnp.sum(
+                    log_density_ratio(combined_lp.astype(jnp.float32),
+                                      aux_t, cum_coder), axis=-1)
         # First partition: all beams share the empty history, so their
         # candidate sets are identical; restrict to beam 0 to get B distinct
         # starts (ref beam_search_coder.py:495-505 uses a single stream).
@@ -218,10 +208,11 @@ def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
         if cfg.shared_pool:
             winner_eps = eps_pool[cand]                           # (B, D) f32
         else:
-            # Regenerate only the B winning rows in f32 (per-candidate keys).
-            winner_keys = cand_keys[parent, cand]                 # (B, 2)
-            winner_eps = _candidate_rows(winner_keys, D,
-                                         cfg.stream)          # (B, D)
+            # Regenerate only the B winning rows in f32 (counter offsets).
+            winner_eps = jax.vmap(
+                lambda bk, i: rng.normal_stream_row(bk, i, S, D,
+                                                    stream=cfg.stream)
+            )(beam_keys[parent], cand)                            # (B, D)
         new_beams = beams[parent] + aux_scale * winner_eps
         new_hashes = rng.fnv_step(hashes[parent], cand)
         new_beam_indices = beam_indices[parent].at[:, t].set(cand)
@@ -339,14 +330,15 @@ def encode_blocks(cfg: BeamSearchConfig, targets: GaussianParams,
 
 
 def _replay_keys(cfg: BeamSearchConfig, block_key, indices, count):
-    """Per-step winning-candidate stream keys for one block — pure integer.
+    """Per-step winning-beam stream keys for one block — pure integer.
 
     The history-hash chain h_{t+1} = fnv(h_t, idx_t) (frozen past ``count``)
     and the fold_in key tree are integer-exact by definition, so the whole
     (P,) key vector is computed up front with no sequential float carry —
     this is what lets the replay run as ONE batched generation instead of a
     per-step loop.  The static unroll is P*2 scalar u32 ops that XLA fuses
-    into a single kernel."""
+    into a single kernel.  The winning candidate's row within each key's
+    counter space is the transmitted index (row addressing)."""
     P = cfg.max_partitions
     hs, h = [], rng.fnv_init()
     for t in range(P):
@@ -354,13 +346,13 @@ def _replay_keys(cfg: BeamSearchConfig, block_key, indices, count):
         h = jnp.where(t < count, rng.fnv_step(h, indices[t]), h)
     hashes = jnp.stack(hs)  # (P,) u32
 
-    def per_t(t, h, idx):
+    def per_t(t, h):
         skey = rng.step_key(block_key, t)
         if cfg.shared_pool:
-            return rng.candidate_key(rng.pool_key(skey), idx)
-        return rng.candidate_key(rng.beam_stream_key(skey, h), idx)
+            return rng.pool_key(skey)
+        return rng.beam_stream_key(skey, h)
 
-    return jax.vmap(per_t)(jnp.arange(P), hashes, indices)  # (P, 2) raw keys
+    return jax.vmap(per_t)(jnp.arange(P), hashes)  # (P, 2) raw keys
 
 
 def _replay_flat(cfg: BeamSearchConfig, coders: GaussianParams,
@@ -389,7 +381,10 @@ def _replay_flat(cfg: BeamSearchConfig, coders: GaussianParams,
     w, _ = jax.vmap(
         lambda cnt: partition_schedule(cnt, P, ratios))(counts)  # (N, P)
     sqrt_w = pin(jnp.sqrt(pin(w)))
-    eps = pin(_candidate_rows(keys, D, cfg.stream))      # (N, P, D)
+    S = cfg.n_samples
+    eps = pin(jax.vmap(jax.vmap(
+        lambda k, i: rng.normal_stream_row(k, i, S, D, stream=cfg.stream)
+    ))(keys, indices))                                   # (N, P, D)
     acc = pin(jnp.einsum("np,npd->nd", sqrt_w, eps))
     return pin(coders.scale * acc) + coders.loc
 

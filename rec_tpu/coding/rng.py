@@ -15,7 +15,8 @@ sharding.  Stream address layout:
       -> fold_in(SPLIT_TAG)                  : the block split permutation
       -> fold_in(BLOCK_TAG) -> fold_in(b)    : per latent-block subtree
            -> fold_in(t)                     : per KL-partition step
-                -> fold_in(history_hash)     : per beam candidate stream
+                -> fold_in(history_hash)     : per beam candidate stream,
+                   candidate s = counter rows [s*D, (s+1)*D) of that key
 
 Beam candidate streams must depend only on the beam's *index history* (so the
 decoder can replay the winning beam's stream knowing only the transmitted
@@ -73,10 +74,10 @@ def pool_key(skey: jax.Array) -> jax.Array:
 
 
 def candidate_key(beam_key: jax.Array, candidate_idx) -> jax.Array:
-    """Per-candidate stream key: each candidate row is its own (D,) stream,
-    so the encoder can score in low precision and regenerate ONLY the
-    winning rows in f32 (and the decoder regenerates exactly one row per
-    partition).  This is the beam codec's stream-layout contract."""
+    """Per-candidate stream key (LEGACY addressing — the beam codec now
+    addresses candidate rows by counter offset within the beam key's stream,
+    see ``normal_stream_row``, which removed B*S fold_ins per partition
+    step; kept for external callers building custom stream layouts)."""
     return jax.random.fold_in(beam_key, candidate_idx)
 
 

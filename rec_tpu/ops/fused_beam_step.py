@@ -1,29 +1,29 @@
 """Fused beam-search partition step — Pallas TPU kernel.
 
 Per partition the encoder scores B x S x D candidate elements whose values
-come from counter-based streams; generating them with ``jax.random`` and
-scoring in XLA materializes multi-MB tensors and dominates encode time
-(PERF.md).  This kernel generates the standard-normal candidate values
-in-register (threefry bits -> erfinv normal) and reduces them straight into
-per-candidate scores:
+come from counter-based streams; generating them with jax.random / the fmix
+pipeline and scoring in XLA materializes multi-MB tensors and dominates
+encode time (PERF.md).  This kernel generates the standard-normal candidate
+values in-register and reduces them straight into per-candidate scores:
 
-    bits (r, d) = threefry(cand_key_r, (0, d)), xor-folded
-    eps  (r, d) = erfinv-normal mapping of bits
-    score(r)    = sum_d quad(beam_row_{r,d} + aux_scale_d * eps_{r,d})
+    bits (s, d) = stream_bits(beam_key, s*D + d)      (row addressing)
+    eps  (s, d) = erfinv-normal mapping of bits
+    score(s)    = sum_d quad(beam_row_d + aux_scale_d * eps_{s,d})
 
-with r running over the S_pad candidate rows of one beam per grid step
-(grid = one step per beam): each step reads only the (1, D_pad) beam row it
-needs via the grid index, so no (B*S, D) beam tensor is ever materialized
-in HBM.  The per-candidate keys (one fold_in per row) are computed OUTSIDE
-the kernel by jax.random — they are B*S tiny hashes, and using the real
-jax.random keys keeps the stream addressing identical to the replay path by
-construction.
+with the grid = one step per beam: each step reads only the (1, D_pad) beam
+row and (2,) beam key it needs via the grid index, so no (B*S, D) beam
+tensor is ever materialized in HBM.  Row addressing (one key per beam,
+candidate s = rows [s*D, (s+1)*D) of its counter space — the coding layer's
+stream contract since the per-candidate fold_in tree was retired) means the
+kernel needs no per-candidate key input at all: the counters are an iota.
 
-The integer stages replicate jax.random bit-exactly and the float stages
-value-faithfully (ops/threefry_normal.py, unit-tested against jax.random:
-100% argmax agreement with the pure-jnp scorer).  Scoring is selection-only:
-winners and the decoder regenerate their rows through jax.random in f32, so
-the bit-exact decode contract is untouched (SURVEY.md §7 hard part 1).
+``stream`` selects the in-kernel bit generator and must match the coder
+config ("fmix" default | "threefry").  The integer stages replicate the
+XLA-path generators bit-exactly and the float stages value-faithfully
+(ops/threefry_normal.py, rng.fmix_bits; unit-tested against the XLA scorer
+in tests/test_ops.py).  Scoring is selection-only: winners and the decoder
+regenerate their rows through rng.normal_stream_row in f32, so the
+bit-exact decode contract is untouched (SURVEY.md §7 hard part 1).
 """
 
 from __future__ import annotations
@@ -35,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .threefry_normal import _LO, _PARITY, _ROT0, _ROT1, erfinv_f32
+
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def _rotl(x, r):
@@ -65,14 +67,34 @@ def _threefry(k1, k2, x0, x1):
     return x[0] + ks2, x[1] + k1 + np.uint32(5)
 
 
-def _kernel(rows: int, D_pad: int, ck_ref, beams_ref, scale_ref, a_ref,
-            b_ref, out_ref):
-    ck1 = ck_ref[:, 0:1]                     # (rows, 1) u32
-    ck2 = ck_ref[:, 1:2]
+def _fmix32(x):
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x85EBCA6B)
+    x = x ^ (x >> np.uint32(13))
+    x = x * np.uint32(0xC2B2AE35)
+    x = x ^ (x >> np.uint32(16))
+    return x
 
+
+def _kernel(rows: int, D: int, D_pad: int, stream: str, key_ref, beams_ref,
+            scale_ref, a_ref, b_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    k1 = key_ref[i, 0]                       # scalar u32 (this beam's key)
+    k2 = key_ref[i, 1]                       # keys live in SMEM (scalars)
+
+    # Row-addressed counters: candidate s covers [s*D, (s+1)*D).  The
+    # padded tail d >= D reads into the next row's counter range, which is
+    # harmless: its quadratic coefficients are zero-padded.
+    s_iota = jax.lax.broadcasted_iota(jnp.uint32, (rows, D_pad), 0)
     d_iota = jax.lax.broadcasted_iota(jnp.uint32, (rows, D_pad), 1)
-    o0, o1 = _threefry(ck1, ck2, jnp.zeros_like(d_iota), d_iota)
-    bits = o0 ^ o1
+    ctr = s_iota * np.uint32(D) + d_iota
+    if stream == "fmix":
+        bits = _fmix32(_fmix32(ctr * _GOLDEN + k1) ^ k2)
+    else:
+        o0, o1 = _threefry(k1, k2, jnp.zeros_like(ctr), ctr)
+        bits = o0 ^ o1
 
     fbits = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
     x01 = jax.lax.bitcast_convert_type(fbits, jnp.float32) - np.float32(1.0)
@@ -87,16 +109,16 @@ def _kernel(rows: int, D_pad: int, ck_ref, beams_ref, scale_ref, a_ref,
     out_ref[:] = jnp.broadcast_to(s, (rows, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("S", "D", "interpret"))
-def fused_candidate_scores(cand_keys, beams, aux_scale, a, b, c_sum, *,
-                           S: int, D: int, interpret: bool = False):
-    """cand_keys (B, S, 2) u32 (raw key data); beams (B, D);
-    aux_scale/a/b (D,); -> (B, S) f32 scores.
+def fused_candidate_scores(beam_keys, beams, aux_scale, a, b, c_sum, *,
+                           S: int, D: int, stream: str = "fmix",
+                           interpret: bool = False):
+    """beam_keys (B, 2) u32 (raw key data); beams (B, D); aux_scale/a/b (D,);
+    -> (B, S) f32 scores.
 
     Grid = one step per beam: each step streams that beam's S candidate
-    rows through VMEM, reading only the (1, D) beam row it needs.  HBM
-    traffic is therefore O(B*S) keys in + O(B*S) scores out; the candidate
-    values (B*S*D elements) live and die in-register.
+    rows through VMEM, reading only the (1, D) beam row and (2,) key it
+    needs.  HBM traffic is therefore O(B) keys in + O(B*S) scores out; the
+    candidate values (B*S*D elements) live and die in-register.
 
     ``interpret=True`` runs the kernel through the Pallas interpreter so the
     blocking/padding logic is testable on CPU (tests/test_ops.py)."""
@@ -108,22 +130,17 @@ def fused_candidate_scores(cand_keys, beams, aux_scale, a, b, c_sum, *,
     S_pad = -(-S // 8) * 8
     pad_d = D_pad - D
 
-    ck = jnp.pad(cand_keys, ((0, 0), (0, S_pad - S), (0, 0)))
-    ck = ck.reshape(B * S_pad, 2)
-    # Singleton middle axis so the (1, 1, D_pad) block satisfies Mosaic's
-    # last-two-dims tiling rule while still selecting one beam per grid step.
     beams_p = jnp.pad(beams, ((0, 0), (0, pad_d)))[:, None, :]
 
     def vec(v):
         return jnp.pad(v, (0, pad_d))[None, :]
 
-    kernel = functools.partial(_kernel, S_pad, D_pad)
+    kernel = functools.partial(_kernel, S_pad, D, D_pad, stream)
     scores = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((S_pad, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (B, 2) keys, whole array
             pl.BlockSpec((1, 1, D_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D_pad), lambda i: (0, 0),
@@ -137,5 +154,5 @@ def fused_candidate_scores(cand_keys, beams, aux_scale, a, b, c_sum, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * S_pad, 128), jnp.float32),
         interpret=interpret,
-    )(ck, beams_p, vec(aux_scale), vec(a), vec(b))
+    )(beam_keys, beams_p, vec(aux_scale), vec(a), vec(b))
     return scores[:, 0].reshape(B, S_pad)[:, :S] + c_sum

@@ -46,21 +46,22 @@ class TestThreefryReplication:
 
 
 class TestFusedBeamStep:
-    def test_interpret_parity_with_padding(self):
+    @pytest.mark.parametrize("stream", ["fmix", "threefry"])
+    def test_interpret_parity_with_padding(self, stream):
         # ADVICE r1: cover BOTH padding paths of the per-beam-grid
-        # restructure — S not divisible by 8 (sublane pad) and D not
-        # divisible by 128 (lane pad) — against the normal_row + quadratic
-        # reference scorer, through the Pallas interpreter on CPU.
+        # structure — S not divisible by 8 (sublane pad) and D not
+        # divisible by 128 (lane pad) — against the rng.normal_stream +
+        # quadratic reference scorer, through the Pallas interpreter on CPU.
+        # Row addressing: one key per beam, candidate s = counter rows
+        # [s*D, (s+1)*D) of that key's stream.
+        from rec_tpu.coding import rng as crng
         from rec_tpu.ops.fused_beam_step import fused_candidate_scores
 
         B, S, D = 3, 5, 200
         rs = np.random.RandomState(7)
         root = jax.random.PRNGKey(123)
-        cand_keys = jax.vmap(
-            lambda b: jax.vmap(
-                lambda s: jax.random.fold_in(jax.random.fold_in(root, b), s)
-            )(jnp.arange(S)))(jnp.arange(B))
-        ckd = jax.vmap(jax.vmap(jax.random.key_data))(cand_keys)
+        beam_keys = jax.vmap(lambda b: jax.random.fold_in(root, b))(
+            jnp.arange(B))
 
         beams = jnp.asarray(rs.randn(B, D), jnp.float32)
         aux_scale = jnp.asarray(np.exp(0.2 * rs.randn(D)), jnp.float32)
@@ -68,13 +69,12 @@ class TestFusedBeamStep:
         b = jnp.asarray(rs.randn(D), jnp.float32)
         c_sum = jnp.float32(1.75)
 
-        got = fused_candidate_scores(ckd.astype(jnp.uint32), beams,
+        got = fused_candidate_scores(beam_keys.astype(jnp.uint32), beams,
                                      aux_scale, a, b, c_sum, S=S, D=D,
-                                     interpret=True)
+                                     stream=stream, interpret=True)
 
-        flat_kd = ckd.reshape(B * S, 2)
-        eps = jax.vmap(lambda kd: normal_row(kd, D))(flat_kd)
-        eps = eps.reshape(B, S, D)
+        eps = jax.vmap(lambda k: crng.normal_stream(k, (S, D),
+                                                    stream=stream))(beam_keys)
         x = beams[:, None, :] + aux_scale * eps
         want = jnp.sum((a * x + b) * x, axis=-1) + c_sum
 
@@ -83,6 +83,23 @@ class TestFusedBeamStep:
         # D=200 they stay far below any score gap that could flip a top-k.
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-4)
+
+
+class TestNormalStreamRow:
+    @pytest.mark.parametrize("stream", ["fmix", "threefry"])
+    def test_row_matches_chunk(self, stream):
+        """normal_stream_row must be BIT-exact to the chunk's row — it is
+        how winners and the decode replay regenerate candidate rows."""
+        from rec_tpu.coding import rng as crng
+
+        key = jax.random.PRNGKey(9)
+        S, D = 7, 130
+        chunk = crng.normal_stream(key, (S, D), stream=stream)
+        for row in (0, 3, 6):
+            got = crng.normal_stream_row(key, jnp.asarray(row), S, D,
+                                         stream=stream)
+            np.testing.assert_array_equal(np.asarray(got),
+                                          np.asarray(chunk[row]))
 
 
 class TestScoreCandidates:
