@@ -63,6 +63,7 @@ class Config:
     block_size: int = 1000
     max_partitions: int = 24
     stream: str = "fmix"            # candidate bit-generator: fmix | threefry
+    codec: str = "ac"               # .rec entropy codec: ac | rans
     num_images: int = 10
     pad_multiple: int = 2  # x64 only needed by the /64-downsampling models (ref pads to x64, :311-312)
     seed: int = 42
@@ -362,7 +363,7 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
 
     nbytes = write_rec(rec_path, seed=seed, image_shape=(h, w, 3),
                        block_size=cfg.block_size, max_index=max_index,
-                       latents=latents, residual=residual)
+                       latents=latents, residual=residual, codec=cfg.codec)
 
     # Read back + index round-trip assertion (ref :369-373).
     rseed, _, _, latents2, residual2 = read_rec(

@@ -21,9 +21,11 @@ from ...io import read_rec, write_rec
 
 
 def compress_to_file(model, params, file_path: str, image, seed: int,
-                     block_size: int, max_index: int):
+                     block_size: int, max_index: int, codec: str = "ac"):
     """REC-encode ``image`` (H, W, 3 in [0,1]) and serialize to ``file_path``.
-    Returns the reconstruction (ref LossyCompressionModel.compress)."""
+    Returns the reconstruction (ref LossyCompressionModel.compress).
+    ``codec``: .rec entropy codec ("ac" | "rans"); the file self-describes,
+    so decompress_from_file needs no hint."""
     import warnings
 
     out = model.apply(params, image[None], seed, method=model.rec_forward)
@@ -37,7 +39,8 @@ def compress_to_file(model, params, file_path: str, image, seed: int,
             "coded sample is truncated and reconstruction quality degrades "
             "— use a coder with a larger max_partitions", stacklevel=2)
     write_rec(file_path, seed=seed, image_shape=tuple(image.shape),
-              block_size=block_size, max_index=max_index, latents=latents)
+              block_size=block_size, max_index=max_index, latents=latents,
+              codec=codec)
     return out["reconstruction"][0]
 
 
