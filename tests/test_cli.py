@@ -32,3 +32,20 @@ def test_astar_sampling_demo():
     out = _run([os.path.join(REPO, "examples", "astar_sampling_demo.py"),
                 "--samples", "60", "--seed", "1"])
     assert "mean within 4 standard errors: True" in out
+
+
+def test_serve_data_parallel(tmp_path):
+    """Batched serving CLI on an 8-device virtual mesh: sharded vmapped
+    compress, .rec write (rANS codec), batched decode verify."""
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "lossless",
+                                      "serve.py"),
+         "model_cfg.num_res_blocks=3", "model_cfg.deterministic_filters=16",
+         "model_cfg.stochastic_filters=4", "n_beams=3", "extra_samples=1.0",
+         "block_size=128", "max_partitions=6", "batch_size=8",
+         "num_images=10", "codec=rans", f"output_dir={tmp_path}"],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "served 10 images" in r.stdout
+    assert len([f for f in os.listdir(tmp_path) if f.endswith(".rec")]) == 10
