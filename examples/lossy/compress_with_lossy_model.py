@@ -57,6 +57,7 @@ class Config:
     block_size: int = 1000
     max_partitions: int = 24
     stream: str = "fmix"            # candidate bit-generator: fmix | threefry
+    codec: str = "ac"               # .rec entropy codec: ac | rans
     num_images: int = 4
     seed: int = 42
     use_ema: bool = True
@@ -132,7 +133,7 @@ def main(argv):
         t0 = time.time()
         recon = compress_to_file(model, params, path, x[0], seed=seed,
                                  block_size=cfg.block_size,
-                                 max_index=max_index)
+                                 max_index=max_index, codec=cfg.codec)
         comp_time = time.time() - t0
         recon2 = decompress_from_file(model, params, path,
                                       max_partitions=cfg.max_partitions)

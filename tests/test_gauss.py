@@ -144,3 +144,56 @@ class TestRatioTableFallback:
         dec = bsc.decode(coder_p, coded.indices, coded.counts, seed=3)
         np.testing.assert_array_equal(np.asarray(coded.sample),
                                       np.asarray(dec))
+
+
+class TestPartitionSchedule:
+    """Closed-form schedule vs the reference-style sequential recurrence
+    (ref coder.py:505-540) — the fast-vs-naive differential style of ref
+    test_rejection_sampling.py."""
+
+    def _recurrence(self, count, P, p_var, ratios=None):
+        import numpy as np
+        from rec_tpu.coding.partition import aux_variance_ratio
+
+        p_var = np.asarray(p_var, np.float64)
+        cum = np.zeros_like(p_var)
+        aux_vars = np.zeros((P,) + p_var.shape)
+        for t in range(count):
+            i = count - 1 - t
+            r = float(aux_variance_ratio(i, ratios))
+            aux_vars[t] = r * np.maximum(p_var - cum, 0.0)
+            cum = cum + aux_vars[t]
+        return aux_vars, cum
+
+    @pytest.mark.parametrize("count", [1, 3, 7])
+    def test_matches_recurrence_power_law(self, count):
+        import numpy as np
+        from rec_tpu.coding.partition import partition_schedule
+
+        P = 8
+        p_var = np.asarray([1.0, 0.25, 4.0])
+        w, c_after = partition_schedule(jnp.asarray(count), P)
+        aux_ref, cum_ref = self._recurrence(count, P, p_var)
+        aux_closed = np.asarray(w)[:, None] * p_var[None, :]
+        np.testing.assert_allclose(aux_closed, aux_ref, rtol=1e-5, atol=1e-9)
+        # The final partition (power-law r_0 = 1) absorbs ALL remaining
+        # variance: cumulative fraction hits exactly 1.
+        assert float(np.asarray(c_after)[count - 1]) == 1.0
+        np.testing.assert_allclose(cum_ref, p_var, rtol=1e-6)
+        # Dead lanes contribute nothing.
+        assert np.all(np.asarray(w)[count:] == 0.0)
+
+    def test_matches_recurrence_learned_table(self):
+        import numpy as np
+        from rec_tpu.coding.partition import partition_schedule
+
+        P, count = 10, 6
+        ratios = jnp.asarray([1.0, 0.55, 0.4, 0.3, 0.22, 0.2], jnp.float32)
+        p_var = np.asarray([0.7, 2.0])
+        w, c_after = partition_schedule(jnp.asarray(count), P, ratios)
+        aux_ref, cum_ref = self._recurrence(count, P, p_var, ratios)
+        np.testing.assert_allclose(np.asarray(w)[:, None] * p_var[None, :],
+                                   aux_ref, rtol=1e-5, atol=1e-9)
+        # Learned tables with r_0 = 1.0 also close the telescope exactly.
+        np.testing.assert_allclose(float(np.asarray(c_after)[count - 1]),
+                                   1.0, rtol=1e-6)
