@@ -11,8 +11,14 @@ Modes:
     probability buffers over test images for codelength estimates and
     persist them (ref :299-303 + samplers.py:134-157).
 
+Model switch (ref runs both RVAE and LargeResNetVAE through every mode,
+ref :117,172-173,241-242): ``model=resnet_vae`` (default, CIFAR-class) or
+``model=large_resnet_vae`` (Kodak-class big images, ×64 padding).
+
 Unlike the reference (which pins TF to CPU, ref :16), compression runs on
-the TPU; only arithmetic coding is host-side.
+the TPU; only arithmetic coding is host-side.  Per-phase timings
+(forward / encode / container / decode / residual) accumulate in a
+PhaseTimer and are dumped to ``<output_dir>/phase_times.json``.
 """
 
 import dataclasses
@@ -32,29 +38,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from rec_tpu.coding import BeamSearchCoder, GaussianCoder
-from rec_tpu.data.datasets import (DatasetConfig, iterate_batches,
-                                   load_images, normalize, pad_to_multiple,
-                                   write_png)
+from rec_tpu.coding.gauss import GaussianParams
+from rec_tpu.data.datasets import (DatasetConfig, load_images, normalize,
+                                   pad_to_multiple, write_png)
 from rec_tpu.io import read_rec, write_rec
+from rec_tpu.models.large_resnet_vae import (LargeResNetVAE,
+                                             LargeResNetVAEConfig)
 from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
                                        ResNetVAEConfig)
-from rec_tpu.train import CheckpointManager, init_state, make_optimizer, staircase_schedule
+from rec_tpu.train import (CheckpointManager, init_state, make_optimizer,
+                           staircase_schedule)
 from rec_tpu.utils.config import apply_overrides, print_config
 from rec_tpu.utils.logging import setup_logger
 from rec_tpu.utils.metrics import psnr
-from rec_tpu.utils.summary import SummaryWriter
+from rec_tpu.utils.profiling import PhaseTimer
 
 LOG2 = float(np.log(2.0))
 
 
 @dataclasses.dataclass(frozen=True)
 class Config:
-    mode: str = "compress"           # compress | initialize
+    mode: str = "compress"           # compress | initialize | update_sampler
+    model: str = "resnet_vae"        # resnet_vae | large_resnet_vae
     dataset: DatasetConfig = dataclasses.field(
         default_factory=lambda: DatasetConfig(dataset="cifar10",
                                               split="test"))
     model_cfg: ResNetVAEConfig = dataclasses.field(
         default_factory=ResNetVAEConfig)
+    large_cfg: LargeResNetVAEConfig = dataclasses.field(
+        default_factory=lambda: LargeResNetVAEConfig(
+            likelihood="discretized_logistic"))
     sampler: str = "beam_search"     # beam_search | importance
     n_beams: int = 20
     extra_samples: float = 1.2
@@ -65,11 +78,16 @@ class Config:
     stream: str = "fmix"            # candidate bit-generator: fmix | threefry
     codec: str = "ac"               # .rec entropy codec: ac | rans
     num_images: int = 10
-    pad_multiple: int = 2  # x64 only needed by the /64-downsampling models (ref pads to x64, :311-312)
+    pad_multiple: int = 0  # 0 = per-model default: ×2 for the RVAE (/2
+    # first conv), ×64 for the large model (ref resizes to ×64, :311-312)
     seed: int = 42
     # Grow max_partitions to fit the probed per-block KL (the reference's
     # dynamic ceil(KL/Omega) has no static budget to overflow).
     auto_max_partitions: bool = True
+    # Re-probe the required budget per image (the first-image probe can
+    # undershoot a later image's KL); recompilation only happens when a
+    # later image actually needs a bigger budget.
+    probe_every_image: bool = True
     true_lossless: bool = True   # also code the residual stream (beyond the
                                  # reference, which only counts those bits)
     use_ema: bool = True
@@ -95,11 +113,80 @@ def build_coder(cfg: Config):
     raise ValueError(cfg.sampler)
 
 
+class ModelAdapter:
+    """Uniform view over the two lossless model families.
+
+    Normalizes compress/decompress to a per-group ``latents`` list of
+    (indices (blocks, P), counts (blocks,)) in top-down transmission order —
+    the RVAE stacks its N res blocks (same shapes), the large model keeps a
+    2-tuple (different shapes per group).
+    """
+
+    def __init__(self, cfg: Config, coder):
+        self.kind = cfg.model
+        if cfg.model == "resnet_vae":
+            self.model = BidirectionalResNetVAE(cfg=cfg.model_cfg,
+                                                coder=coder)
+            self.n_groups = cfg.model_cfg.num_res_blocks
+        elif cfg.model == "large_resnet_vae":
+            self.model = LargeResNetVAE(cfg=cfg.large_cfg, coder=coder)
+            self.n_groups = 2
+        else:
+            raise ValueError(cfg.model)
+        self.forward = jax.jit(lambda p, x, k: self.model.apply(p, x, k))
+        self._compress = jax.jit(
+            lambda p, x, s: self.model.apply(p, x, s,
+                                             method=self.model.compress))
+        if cfg.model == "resnet_vae":
+            self._decompress = jax.jit(
+                lambda p, shape, ind, cnt, s: self.model.apply(
+                    p, shape, ind, cnt, s, method=self.model.decompress),
+                static_argnums=1)
+        else:
+            self._decompress = jax.jit(
+                lambda p, shape, latents, s: self.model.apply(
+                    p, shape, latents, s, method=self.model.decompress),
+                static_argnums=1)
+
+    def pairs(self, out):
+        """Per-group (posterior, prior) GaussianParams in top-down order."""
+        if self.kind == "resnet_vae":
+            post, prior = out["posterior"], out["prior"]
+            return [(GaussianParams(post.loc[n], post.scale[n]),
+                     GaussianParams(prior.loc[n], prior.scale[n]))
+                    for n in range(self.n_groups)]
+        return list(out["posterior_prior_pairs"])
+
+    def compress(self, params, x, seed):
+        """Returns (latents list, total_kl, reconstruction)."""
+        comp = jax.block_until_ready(self._compress(params, x, seed))
+        if self.kind == "resnet_vae":
+            latents = [(np.asarray(comp["indices"][b]),
+                        np.asarray(comp["counts"][b]))
+                       for b in range(self.n_groups)]
+        else:
+            latents = [(np.asarray(i), np.asarray(c))
+                       for i, c in comp["latents"]]
+        return latents, float(jnp.sum(comp["kl"])), comp["reconstruction"]
+
+    def decompress(self, params, shape, latents, seed):
+        if self.kind == "resnet_vae":
+            ind = jnp.stack([jnp.asarray(a) for a, _ in latents])
+            cnt = jnp.stack([jnp.asarray(c) for _, c in latents])
+            return self._decompress(params, shape, ind, cnt, seed)
+        lat = [(jnp.asarray(a), jnp.asarray(c)) for a, c in latents]
+        return self._decompress(params, shape, lat, seed)
+
+
+def pad_multiple_for(cfg: Config) -> int:
+    if cfg.pad_multiple:
+        return cfg.pad_multiple
+    return 64 if cfg.model == "large_resnet_vae" else 2
+
+
 def load_params(cfg: Config, model, example):
     """Restore trained params (EMA swapped in, ref :199,268), or
     fresh-initialize when no checkpoint exists."""
-    import optax
-
     params = model.init(jax.random.PRNGKey(cfg.seed), example,
                         jax.random.PRNGKey(cfg.seed + 1))
     tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
@@ -119,16 +206,15 @@ def initialize_coder_ratios(cfg: Config, log):
     from rec_tpu.coding.partition import (plan_split, split_pair,
                                           split_permutation)
     from rec_tpu.coding import rng as crng
-    from rec_tpu.coding.gauss import GaussianParams
     from rec_tpu.coding.ratio_fit import RatioFitConfig, RatioFitter
 
-    model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=None)
+    adapter = ModelAdapter(cfg, None)
+    pad = pad_multiple_for(cfg)
     images, synthetic = load_images(cfg.dataset)
     images = normalize(images, "centered")[: cfg.num_images]
-    example = jnp.asarray(pad_to_multiple(images[:1], cfg.pad_multiple))
-    params, restored = load_params(cfg, model, example)
+    example = jnp.asarray(pad_to_multiple(images[:1], pad))
+    params, restored = load_params(cfg, adapter.model, example)
 
-    forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
     # Size the table well past the eval budget: the fitter only fills the
     # entries the data actually reaches, and encode-time indices beyond the
     # table extrapolate by power law (partition.aux_variance_ratio) — but a
@@ -137,16 +223,13 @@ def initialize_coder_ratios(cfg: Config, log):
                          max_partitions=max(192, cfg.max_partitions))
     key = jax.random.PRNGKey(cfg.seed)
     for i, img in enumerate(images):
-        x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
-        out = forward(params, x, jax.random.fold_in(key, i))
+        x = jnp.asarray(pad_to_multiple(img[None], pad))
+        out = adapter.forward(params, x, jax.random.fold_in(key, i))
         log.info(f"init image {i}: "
                  f"total kl={float(jnp.sum(out['analytic_kl'])):.0f}")
-        # Fit on the actual per-res-block posterior/prior pairs, split into
+        # Fit on the actual per-group posterior/prior pairs, split into
         # the same equal-size latent blocks the coder uses.
-        post, prior = out["posterior"], out["prior"]
-        for n in range(cfg.model_cfg.num_res_blocks):
-            p_n = GaussianParams(post.loc[n], post.scale[n])
-            c_n = GaussianParams(prior.loc[n], prior.scale[n])
+        for n, (p_n, c_n) in enumerate(adapter.pairs(out)):
             plan = plan_split(int(p_n.loc.size), cfg.block_size)
             perm = split_permutation(crng.root_key(cfg.seed + i), plan)
             t_blocks, c_blocks = split_pair(p_n, c_n, plan, perm)
@@ -161,29 +244,25 @@ def initialize_coder_ratios(cfg: Config, log):
 
 def update_rejection_sampler(cfg: Config, log):
     """mode=update_sampler: run the rejection coder's update pass over the
-    per-res-block aux pairs of test images and persist the averaged
+    per-group aux pairs of test images and persist the averaged
     acceptance probabilities."""
     from rec_tpu.coding import RejectionCoder
-    from rec_tpu.coding.gauss import GaussianParams
     from rec_tpu.coding.partition import (plan_split, split_pair,
                                           split_permutation)
     from rec_tpu.coding import rng as crng
 
-    model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=None)
+    adapter = ModelAdapter(cfg, None)
+    pad = pad_multiple_for(cfg)
     images, _ = load_images(cfg.dataset)
     images = normalize(images, "centered")[: cfg.num_images]
-    example = jnp.asarray(pad_to_multiple(images[:1], cfg.pad_multiple))
-    params, _ = load_params(cfg, model, example)
-    forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
+    example = jnp.asarray(pad_to_multiple(images[:1], pad))
+    params, _ = load_params(cfg, adapter.model, example)
 
     rc = RejectionCoder(kl_per_partition=cfg.kl_per_partition)
     for i, img in enumerate(images):
-        x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
-        out = forward(params, x, jax.random.PRNGKey(cfg.seed + i))
-        post, prior = out["posterior"], out["prior"]
-        for n in range(cfg.model_cfg.num_res_blocks):
-            p_n = GaussianParams(post.loc[n], post.scale[n])
-            c_n = GaussianParams(prior.loc[n], prior.scale[n])
+        x = jnp.asarray(pad_to_multiple(img[None], pad))
+        out = adapter.forward(params, x, jax.random.PRNGKey(cfg.seed + i))
+        for n, (p_n, c_n) in enumerate(adapter.pairs(out)):
             plan = plan_split(int(p_n.loc.size), cfg.block_size)
             perm = split_permutation(crng.root_key(cfg.seed + i), plan)
             tb, cb = split_pair(p_n, c_n, plan, perm)
@@ -197,6 +276,28 @@ def update_rejection_sampler(cfg: Config, log):
     np.save(path, rc.sampler.acceptance_probabilities)
     log.info(f"saved acceptance probabilities to {path} "
              f"(spillover p={rc.sampler.spillover_probability:.3e})")
+
+
+def required_budget(cfg: Config, adapter: ModelAdapter, coder, params, x,
+                    seed) -> int:
+    """Probe one image's per-group KL and return the partition budget it
+    needs (the reference's dynamic ceil(KL/Omega), ref coder.py:501)."""
+    out = adapter.forward(params, x, jax.random.PRNGKey(seed))
+    need = 1
+    for p_n, c_n in adapter.pairs(out):
+        need = max(need, coder.required_partitions(p_n, c_n, seed))
+    return need
+
+
+def grow_budget(cfg: Config, log, coder, need: int):
+    """Grow the static partition budget to fit a probed requirement
+    (25% headroom, ×8 rounding).  A too-small budget silently truncates
+    blocks and cascades into a garbage reconstruction."""
+    budget = -(-int(need * 1.25) // 8) * 8
+    log.warning(
+        f"max_partitions={coder.max_partitions} < required {need}; "
+        f"auto-sizing to {budget} (disable with auto_max_partitions=False)")
+    return dataclasses.replace(coder, max_partitions=budget)
 
 
 def main(argv):
@@ -219,50 +320,19 @@ def main(argv):
         coder = dataclasses.replace(
             coder, aux_variance_ratios=tuple(np.load(ratio_path).tolist()))
         log.info(f"using fitted aux ratios from {ratio_path}")
-    model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=coder)
 
+    pad = pad_multiple_for(cfg)
     images, synthetic = load_images(cfg.dataset)
     if synthetic:
         log.warning("using SYNTHETIC data (no local dataset found)")
     images = normalize(images, "centered")[: cfg.num_images]
 
-    example = jnp.asarray(pad_to_multiple(images[:1], cfg.pad_multiple))
-    params, restored = load_params(cfg, model, example)
+    adapter = ModelAdapter(cfg, coder)
+    example = jnp.asarray(pad_to_multiple(images[:1], pad))
+    params, restored = load_params(cfg, adapter.model, example)
     log.info(f"params restored from checkpoint: {restored}")
 
-    forward = jax.jit(lambda p, x, k: model.apply(p, x, k))
-
-    if cfg.auto_max_partitions:
-        # Size the static partition budget to the data, like the reference's
-        # dynamic ceil(KL/Omega) loop (ref coder.py:501): probe the first
-        # image's per-res-block posterior/prior pairs and grow
-        # max_partitions to the max required count (rounded up to 8).  A
-        # too-small budget silently truncates blocks and cascades into a
-        # garbage reconstruction (see the saturation warning below).
-        from rec_tpu.coding.gauss import GaussianParams as GP
-
-        probe = forward(params, example, jax.random.PRNGKey(cfg.seed))
-        need = 1
-        for n in range(cfg.model_cfg.num_res_blocks):
-            p_n = GP(probe["posterior"].loc[n], probe["posterior"].scale[n])
-            c_n = GP(probe["prior"].loc[n], probe["prior"].scale[n])
-            need = max(need, coder.required_partitions(p_n, c_n, cfg.seed))
-        if need > cfg.max_partitions:
-            budget = -(-int(need * 1.25) // 8) * 8  # 25% headroom, x8 round
-            log.warning(
-                f"max_partitions={cfg.max_partitions} < required {need}; "
-                f"auto-sizing to {budget} (disable with "
-                "auto_max_partitions=False)")
-            coder = dataclasses.replace(coder, max_partitions=budget)
-            model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=coder)
-            cfg = dataclasses.replace(cfg, max_partitions=budget)
-    compress = jax.jit(
-        lambda p, x, s: model.apply(p, x, s, method=model.compress))
-    decompress = jax.jit(
-        lambda p, shape, ind, cnt, s: model.apply(
-            p, shape, ind, cnt, s, method=model.decompress),
-        static_argnums=1)
-
+    timer = PhaseTimer()
     csv_path = os.path.join(cfg.output_dir, f"{cfg.dataset.dataset}.csv")
     fields = ["index", "width", "height", "seed", "total_kl",
               "ideal_elbo_bpd", "ideal_psnr", "ideal_ms_ssim",
@@ -273,9 +343,20 @@ def main(argv):
     rows = []
     crashes = 0
     for i, img in enumerate(images):
+        x = jnp.asarray(pad_to_multiple(img[None], pad))
+        # Size the static partition budget to the data, like the
+        # reference's dynamic ceil(KL/Omega) (ref coder.py:501).  Probing
+        # every image catches a later image whose KL exceeds the first
+        # image's budget; growth recompiles, shrinkage never does.
+        if cfg.auto_max_partitions and (i == 0 or cfg.probe_every_image):
+            need = required_budget(cfg, adapter, coder, params, x,
+                                   cfg.seed + i)
+            if need > coder.max_partitions:
+                coder = grow_budget(cfg, log, coder, need)
+                adapter = ModelAdapter(cfg, coder)
         try:
-            rows.append(_compress_one(cfg, log, model, coder, params, i, img,
-                                      forward, compress, decompress))
+            rows.append(_compress_one(cfg, log, adapter, coder, params, i,
+                                      img, x, timer))
         except Exception as e:  # per-image catch-and-continue (ref :375-377)
             crashes += 1
             log.error(f"image {i} failed: {type(e).__name__}: {e}")
@@ -284,6 +365,9 @@ def main(argv):
         writer = csv.DictWriter(f, fieldnames=fields)
         writer.writeheader()
         writer.writerows(rows)
+    timer.dump(os.path.join(cfg.output_dir, "phase_times.json"))
+    log.info(f"phase times: " + ", ".join(
+        f"{k}={v['mean_ms']:.0f}ms" for k, v in timer.report().items()))
     log.info(f"wrote {csv_path}; images={len(rows)} crashes={crashes}; "
              f"mean bpd="
              f"{np.mean([r['total_bits_per_dim'] for r in rows]):.3f}")
@@ -303,25 +387,26 @@ def _ms_ssim_auto(a, b):
     return float(ms_ssim(a, b, weights=w / w.sum())[0])
 
 
-def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
-                  decompress):
-    x = jnp.asarray(pad_to_multiple(img[None], cfg.pad_multiple))
+def _compress_one(cfg, log, adapter: ModelAdapter, coder, params, i, img, x,
+                  timer: PhaseTimer):
     h, w = x.shape[1:3]
     num_dims = float(np.prod(x.shape[1:]))
     seed = cfg.seed + i
 
     # Ideal pass: ELBO metrics + uncoded-reconstruction quality
     # (ref :321-342 and the ideal_PSNR/ideal_MS_SSIM CSV columns, :280-297).
-    out = forward(params, x, jax.random.PRNGKey(seed))
-    ideal_elbo_bpd = float(
-        (-jnp.mean(out["log_likelihood"])
-         + jnp.sum(jnp.mean(out["analytic_kl"], axis=1)))
-        / (num_dims * LOG2))
+    with timer.phase("forward"):
+        out = adapter.forward(params, x, jax.random.PRNGKey(seed))
+        ideal_elbo_bpd = float(
+            (-jnp.mean(out["log_likelihood"])
+             + jnp.sum(jnp.mean(out["analytic_kl"], axis=1)))
+            / (num_dims * LOG2))
     ideal_psnr = float(psnr(x + 0.5, out["reconstruction"])[0])
     ideal_ms = _ms_ssim_auto(x + 0.5, out["reconstruction"])
 
     t0 = time.time()
-    comp = jax.block_until_ready(compress(params, x, seed))
+    with timer.phase("encode"):
+        latents, total_kl, _ = adapter.compress(params, x, seed)
     comp_time = time.time() - t0
 
     # A block whose count hits the static budget was truncated: its coded
@@ -329,21 +414,19 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
     # conditioned on it and diverge, and the residual stream balloons.
     # Silent truncation reads as "compressed fine" with terrible bpd, so
     # surface it loudly (cf. ref coder.py:226-230, which raises instead).
-    saturated = int(np.sum(np.asarray(comp["counts"]) == cfg.max_partitions))
+    saturated = int(sum(np.sum(c == coder.max_partitions)
+                        for _, c in latents))
     if saturated:
         log.warning(
             f"image {i}: {saturated} latent block(s) hit "
-            f"max_partitions={cfg.max_partitions} — the KL budget is too "
+            f"max_partitions={coder.max_partitions} — the KL budget is too "
             f"small for this model; rerun with a larger max_partitions")
 
     rec_path = os.path.join(cfg.output_dir, f"img_{i}.rec")
-    latents = [(np.asarray(comp["indices"][b]),
-                np.asarray(comp["counts"][b]))
-               for b in range(cfg.model_cfg.num_res_blocks)]
     # Raw index arrays alongside the .rec file (ref :352 saves
     # <image>_block_indices.npy per image for offline analysis).
-    np.save(os.path.join(cfg.output_dir, f"block_indices_{i}.npy"),
-            np.asarray(comp["indices"]))
+    np.savez(os.path.join(cfg.output_dir, f"block_indices_{i}.npz"),
+             **{f"indices_{g}": ind for g, (ind, _) in enumerate(latents)})
     max_index = (coder.n_samples if cfg.sampler == "beam_search"
                  else 1 << cfg.coding_bits)
 
@@ -354,29 +437,30 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
         # (encoder embeds decoder), then the file alone is lossless.
         from rec_tpu.io.residual import encode_residual
 
-        dec_recon = decompress(
-            params, (h, w),
-            jnp.stack([jnp.asarray(a) for a, _ in latents]),
-            jnp.stack([jnp.asarray(c) for _, c in latents]), seed)
-        residual, _ = encode_residual(np.asarray(x[0]) + 0.5,
-                                      np.asarray(dec_recon[0]), scale)
+        with timer.phase("residual"):
+            dec_recon = adapter.decompress(params, (h, w), latents, seed)
+            residual, _ = encode_residual(np.asarray(x[0]) + 0.5,
+                                          np.asarray(dec_recon[0]), scale)
 
-    nbytes = write_rec(rec_path, seed=seed, image_shape=(h, w, 3),
-                       block_size=cfg.block_size, max_index=max_index,
-                       latents=latents, residual=residual, codec=cfg.codec)
+    with timer.phase("container_write"):
+        nbytes = write_rec(rec_path, seed=seed, image_shape=(h, w, 3),
+                           block_size=cfg.block_size, max_index=max_index,
+                           latents=latents, residual=residual,
+                           codec=cfg.codec)
 
     # Read back + index round-trip assertion (ref :369-373).
-    rseed, _, _, latents2, residual2 = read_rec(
-        rec_path, max_partitions=cfg.max_partitions, with_residual=True)
+    with timer.phase("container_read"):
+        rseed, _, _, latents2, residual2 = read_rec(
+            rec_path, max_partitions=coder.max_partitions,
+            with_residual=True)
     ok = all(np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
              for a, b in zip(latents, latents2))
     assert ok, "index round trip failed"
 
-    ind = jnp.stack([jnp.asarray(a) for a, _ in latents2])
-    cnt = jnp.stack([jnp.asarray(c) for _, c in latents2])
     t0 = time.time()
-    recon = jax.block_until_ready(
-        decompress(params, (h, w), ind, cnt, rseed))
+    with timer.phase("decode"):
+        recon = jax.block_until_ready(
+            adapter.decompress(params, (h, w), latents2, rseed))
     decomp_time = time.time() - t0
 
     # Residual bits: actual coded bits when true_lossless, else the
@@ -396,13 +480,15 @@ def _compress_one(cfg, log, model, coder, params, i, img, forward, compress,
             x, recon - 0.5, scale)[0] / LOG2)
     from rec_tpu.coding import CodedLatent
 
-    latent_bits = float(coder.codelength_nats(
-        CodedLatent(ind, cnt, None)) / LOG2)
+    latent_bits = float(sum(
+        jnp.sum(coder.codelength_nats(
+            CodedLatent(jnp.asarray(ind), jnp.asarray(cnt), None)))
+        for ind, cnt in latents) / LOG2)
     total_bpd = (latent_bits + residual_bits) / num_dims
     p = float(psnr(x + 0.5, recon)[0])
 
     row = dict(index=i, width=w, height=h, seed=seed,
-               total_kl=float(jnp.sum(comp["kl"])),
+               total_kl=total_kl,
                ideal_elbo_bpd=ideal_elbo_bpd,
                ideal_psnr=ideal_psnr, ideal_ms_ssim=ideal_ms,
                latent_code_bits=latent_bits,

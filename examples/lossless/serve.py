@@ -6,9 +6,16 @@ TPU-native serving equivalent the SURVEY's §2.9 plan calls for: images are
 batched through ONE jitted vmapped compress program and the batch axis is
 sharded over a 1-D device mesh (`rec_tpu/parallel`) — encode has no
 cross-image collectives, so throughput scales with chips structurally.
-Index streams gather to the host, where the native multi-stream entropy
-coder (cpp rec_ac/rans_encode_many, host threads) serializes every image's
-.rec file in parallel.
+Index streams land on the host that owns each image's shard, where the
+native multi-stream entropy coder (cpp rec_ac/rans_encode_many, host
+threads) serializes every image's .rec file in parallel.
+
+Multi-host (SURVEY.md §2.9/§5.8): pass ``coordinator=host:port
+num_processes=N process_id=i`` on every process.  The global batch shards
+over all processes' devices; each process writes the .rec files for ITS
+shard of the batch (host-local writes, globally-unique image ids) — there
+are no cross-image collectives, so scaling is structural.  Exercised by
+tests/test_multihost.py on two CPU processes.
 
     python examples/lossless/serve.py \
         model_cfg.num_res_blocks=24 n_beams=20 extra_samples=1.2 \
@@ -16,8 +23,11 @@ coder (cpp rec_ac/rans_encode_many, host threads) serializes every image's
 
 ``shared_pool=true`` selects the fast-serving beam variant (PERF.md: ~5x
 batched throughput for a measured ~0.7 nats/partition quality cost).
-``verify=true`` decodes every file back and asserts the reconstruction is
-bit-identical to the encoder's (the encoder embeds the decoder).
+``true_lossless=true`` (default) appends the coded residual stream to every
+file, so the .rec alone recovers exact 8-bit pixels.
+``verify=true`` re-reads EVERY written file, decodes it, and asserts the
+reconstruction is bit-identical to the encoder's and (true_lossless) that
+the residual recovers the exact pixels.
 """
 
 from __future__ import annotations
@@ -37,14 +47,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rec_tpu.coding import BeamSearchCoder, CodedLatent, GaussianCoder
+from rec_tpu.coding import BeamSearchCoder, GaussianCoder
 from rec_tpu.data.datasets import (DatasetConfig, load_images, normalize,
                                    pad_to_multiple)
 from rec_tpu.io import read_rec, write_rec
 from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
                                        ResNetVAEConfig)
-from rec_tpu.parallel import (make_batch_compress, make_batch_decompress,
-                              make_mesh, shard_images)
+from rec_tpu.parallel import (make_batch_compress, make_mesh)
+from rec_tpu.parallel.mesh import data_axis_sharding, init_distributed
 from rec_tpu.train import (CheckpointManager, init_state, make_optimizer,
                            staircase_schedule)
 from rec_tpu.utils.config import apply_overrides, print_config
@@ -72,13 +82,19 @@ class Config:
     codec: str = "ac"                # .rec entropy codec: ac | rans
     batch_size: int = 8              # global batch (padded to a device multiple)
     num_images: int = 16
-    n_devices: int = 0               # 0 = all local devices
+    n_devices: int = 0               # 0 = all devices (incl. other hosts')
     pad_multiple: int = 2
     seed: int = 42
-    verify: bool = True              # decode each file, assert bit-exact
+    verify: bool = True              # decode every file, assert bit-exact
+    true_lossless: bool = True       # append the coded residual stream
     use_ema: bool = True
     model_save_dir: str = "checkpoints/lossless"
     output_dir: str = "results/serve"
+    # Multi-host bring-up (every process passes the same coordinator and
+    # num_processes, and its own process_id).
+    coordinator: str = ""
+    num_processes: int = 1
+    process_id: int = -1
 
 
 def build_coder(cfg: Config):
@@ -110,17 +126,46 @@ def load_params(cfg: Config, model, example):
     return (restored.ema_params if cfg.use_ema else restored.params), True
 
 
+def global_batch_array(np_array, mesh):
+    """Build a globally-sharded array from host-replicated numpy data.
+
+    Every process holds the SAME full batch (the loaders are deterministic);
+    the callback hands each device its slice, so no cross-host data motion
+    happens — this is the multi-host generalization of ``jax.device_put``.
+    """
+    sharding = data_axis_sharding(mesh, np_array.ndim)
+    return jax.make_array_from_callback(np_array.shape, sharding,
+                                        lambda idx: np_array[idx])
+
+
+def local_rows(arr) -> list:
+    """(global_row, host_numpy_row) pairs owned by this process, ascending."""
+    rows = {}
+    for sh in arr.addressable_shards:
+        sl = sh.index[0]
+        data = np.asarray(sh.data)
+        start = sl.start or 0
+        for k in range(data.shape[0]):
+            rows[start + k] = data[k]
+    return sorted(rows.items())
+
+
 def main(argv):
     cfg = apply_overrides(Config(), argv)
-    print_config(cfg)
-    log = setup_logger("serve")
+    if cfg.num_processes > 1:
+        init_distributed(cfg.coordinator, cfg.num_processes, cfg.process_id)
+    pid = jax.process_index()
+    if pid == 0:
+        print_config(cfg)
+    log = setup_logger(f"serve[{pid}]")
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     mesh = make_mesh(cfg.n_devices or None)
     n_dev = mesh.devices.size
     # Pad the global batch to a device multiple so the shard is even.
     batch = -(-cfg.batch_size // n_dev) * n_dev
-    log.info(f"mesh: {n_dev} device(s); global batch {batch}")
+    log.info(f"mesh: {n_dev} device(s), {jax.process_count()} process(es); "
+             f"global batch {batch}")
 
     coder = build_coder(cfg)
     model = BidirectionalResNetVAE(cfg=cfg.model_cfg, coder=coder)
@@ -134,15 +179,21 @@ def main(argv):
 
     params, restored = load_params(cfg, model, images[:1])
     log.info(f"params restored from checkpoint: {restored}")
+    scale = float(jnp.exp(params["params"]["likelihood_log_scale"]))
 
     compress = make_batch_compress(model)
-    decompress = make_batch_decompress(model, (H, W))
+    # Per-image decode for verification: local-device program, replays any
+    # single file this host wrote.
+    decompress_one = jax.jit(
+        lambda p, ind, cnt, s: model.apply(p, (H, W), ind, cnt, s,
+                                           method=model.decompress))
     max_index = (coder.n_samples if cfg.sampler == "beam_search"
                  else 1 << cfg.coding_bits)
 
-    total_images = 0
+    my_images = 0
     total_bytes = 0
     t_encode = 0.0
+    first_batch = True
     for start in range(0, len(images), batch):
         chunk = images[start: start + batch]
         valid = len(chunk)
@@ -150,58 +201,95 @@ def main(argv):
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], batch - valid, axis=0)])
         seeds = cfg.seed + 101 * np.arange(start, start + batch)
-        ims, sds = shard_images(jnp.asarray(chunk), jnp.asarray(seeds), mesh)
+        ims = global_batch_array(jnp.asarray(chunk), mesh)
+        sds = global_batch_array(jnp.asarray(seeds), mesh)
 
         t0 = time.time()
         out = jax.block_until_ready(compress(params, ims, sds))
-        if total_images:  # skip the compile batch in throughput
+        if not first_batch:  # skip the compile batch in throughput
             t_encode += time.time() - t0
 
-        indices = np.asarray(out["indices"])   # (batch, N, blocks, P)
-        counts = np.asarray(out["counts"])     # (batch, N, blocks)
-        for j in range(valid):
+        # Each process serializes the images IT holds (host-local writes).
+        ind_rows = local_rows(out["indices"])    # (N, blocks, P) per row
+        cnt_rows = dict(local_rows(out["counts"]))
+        rec_rows = dict(local_rows(out["reconstruction"]))
+        for j, ind in ind_rows:
             i = start + j
-            latents = [(indices[j, b], counts[j, b])
+            if j >= valid:
+                continue
+            counts = cnt_rows[j]
+            latents = [(ind[b], counts[b])
                        for b in range(cfg.model_cfg.num_res_blocks)]
+            residual = None
+            if cfg.true_lossless:
+                # Residual contract (io/residual.py:22-28): score against
+                # the CANONICAL per-image decode — the program the decoder
+                # will run.  The vmapped compress's reconstruction matches
+                # it only to conv-fusion ULPs, which is not enough for the
+                # quantized residual.
+                from rec_tpu.io.residual import encode_residual
+
+                canon = np.asarray(decompress_one(
+                    params, jnp.asarray(ind), jnp.asarray(counts),
+                    int(seeds[j])))[0]
+                residual, _ = encode_residual(chunk[j] + 0.5, canon, scale)
             path = os.path.join(cfg.output_dir, f"img_{i}.rec")
             total_bytes += write_rec(
                 path, seed=int(seeds[j]), image_shape=(H, W, 3),
                 block_size=cfg.block_size, max_index=max_index,
-                latents=latents, codec=cfg.codec)
-        total_images += valid
+                latents=latents, residual=residual, codec=cfg.codec)
+            my_images += 1
 
-        if cfg.verify:
-            dec = jax.block_until_ready(decompress(
-                params, jnp.asarray(indices), jnp.asarray(counts),
-                jnp.asarray(seeds)))
-            same = np.array_equal(np.asarray(out["reconstruction"])[:valid],
-                                  np.asarray(dec)[:valid])
-            assert same, "batched decode != encoder's embedded replay"
-            # Container round trip on the first file of the batch (the file
-            # stores only the first counts[b] indices per block; the rest
-            # read back as zeros).
-            rseed, _, _, lat2 = read_rec(
-                os.path.join(cfg.output_dir, f"img_{start}.rec"),
-                max_partitions=cfg.max_partitions)
-            assert rseed == int(seeds[0]), ".rec seed mismatch"
-            for b, (ind2, cnt2) in enumerate(lat2):
-                assert np.array_equal(counts[0, b], cnt2), ".rec counts"
-                for blk, c in enumerate(np.asarray(cnt2)):
-                    assert np.array_equal(indices[0, b, blk, :c],
-                                          ind2[blk, :c]), ".rec indices"
+            if cfg.verify:
+                _verify_file(cfg, path, params, decompress_one,
+                             (ind, counts), chunk[j], rec_rows[j], scale)
+        first_batch = False
 
-    steady = max(total_images - batch, 0)
+    if cfg.verify:
+        log.info(f"verified {my_images} file(s): container round trip, "
+                 f"bit-exact decode"
+                 + (", exact pixel recovery" if cfg.true_lossless else ""))
+    steady = max(my_images - batch // max(jax.process_count(), 1), 0)
+    ips = steady / t_encode if steady and t_encode > 0 else float("nan")
     if steady and t_encode > 0:
-        ips = steady / t_encode
-        log.info(f"encode throughput: {ips:.2f} images/sec total, "
-                 f"{ips / n_dev:.2f} images/sec/chip (steady-state, "
-                 f"batch {batch})")
-    bpd = total_bytes * 8.0 / (total_images * H * W * 3)
-    log.info(f"{total_images} images -> {total_bytes} bytes "
+        log.info(f"encode throughput (this process's shard): "
+                 f"{ips:.2f} images/sec ({ips / max(n_dev // jax.process_count(), 1):.2f}"
+                 f" images/sec/chip, steady-state, global batch {batch})")
+    bpd = (total_bytes * 8.0 / (my_images * H * W * 3)
+           if my_images else float("nan"))
+    log.info(f"process {pid}: {my_images} images -> {total_bytes} bytes "
              f"({bpd:.3f} bits/dim incl. container, codec={cfg.codec})")
-    print(f"served {total_images} images at "
-          f"{(steady / t_encode) if steady and t_encode else float('nan'):.2f}"
-          f" images/sec, {bpd:.3f} bits/dim")
+    print(f"served {my_images} images at {ips:.2f} images/sec, "
+          f"{bpd:.3f} bits/dim")
+
+
+def _verify_file(cfg, path, params, decompress_one, enc_latents,
+                 img_centered, enc_recon, scale):
+    """Full verification of ONE written file: container index round trip,
+    canonical decode consistent with the encoder's embedded replay, and
+    (true_lossless) exact 8-bit pixel recovery from the file alone."""
+    rseed, shape, _, latents2, residual2 = read_rec(
+        path, max_partitions=cfg.max_partitions, with_residual=True)
+    enc_ind, enc_cnt = enc_latents
+    ind = jnp.stack([jnp.asarray(a) for a, _ in latents2])
+    cnt = jnp.stack([jnp.asarray(c) for _, c in latents2])
+    assert np.array_equal(np.asarray(cnt), enc_cnt), f"{path}: .rec counts"
+    for b in range(ind.shape[0]):
+        for blk, c in enumerate(np.asarray(cnt[b])):
+            assert np.array_equal(enc_ind[b, blk, :c],
+                                  np.asarray(ind[b, blk, :c])), \
+                f"{path}: .rec indices"
+    recon = np.asarray(decompress_one(params, ind, cnt, rseed))[0]
+    # The latent replay is pinned bit-exact across programs; the deconv
+    # reconstruction matches the vmapped encoder's only to fusion ULPs.
+    assert np.allclose(recon, enc_recon, atol=1e-4), \
+        f"{path}: decode diverged from the encoder's embedded replay"
+    if cfg.true_lossless:
+        from rec_tpu.io.residual import decode_residual, quantize
+
+        out01 = decode_residual(residual2, recon, scale)
+        assert np.array_equal(quantize(out01), quantize(img_centered + 0.5)), \
+            f"{path}: lossless pixel recovery failed"
 
 
 if __name__ == "__main__":

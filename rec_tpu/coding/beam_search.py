@@ -62,14 +62,6 @@ class BeamSearchConfig:
     # default stays on the XLA path — see PERF.md.  Selection-only either
     # way: winners/decodes always replay through jax.random in f32.
     use_fused_kernel: bool = False
-    # Opt-in while_loop partition loop for the SINGLE-block functions.
-    # Mostly superseded: the default batched path (encode_blocks) already
-    # early-exits at the batch's max data-dependent count via a scalar
-    # lax.cond inside the scan, with none of this option's pathological
-    # compile times (>10 min on the TPU toolchain).  Only useful when
-    # per-block counts vary so wildly within a batch that per-block (not
-    # batch-max) exit pays for the compile.
-    dynamic_early_exit: bool = False
     # Candidate bit-generator: "fmix" (murmur3-finalizer counter hash, the
     # default — ~2.5x fewer integer ops on the measured encode bottleneck,
     # quality-validated against threefry in tests/test_roundtrip.py) or
@@ -266,17 +258,8 @@ def encode_block(cfg: BeamSearchConfig, target: GaussianParams,
                             carry, t), None
 
     init = _beam_init(cfg, D)
-    if cfg.dynamic_early_exit:
-        # Stops at the data-dependent partition count (under vmap over
-        # latent blocks, at the batch max); the body is a no-op for
-        # finished lanes (tree_where).
-        (_, (beams, _, beam_indices)) = jax.lax.while_loop(
-            lambda c: c[0] < n,
-            lambda c: (c[0] + 1, step(c[1], c[0])[0]),
-            (jnp.asarray(0, jnp.int32), init))
-    else:
-        (beams, _, beam_indices), _ = jax.lax.scan(
-            step, init, jnp.arange(P, dtype=jnp.int32))
+    (beams, _, beam_indices), _ = jax.lax.scan(
+        step, init, jnp.arange(P, dtype=jnp.int32))
 
     return BeamCodedBlock(indices=beam_indices[0], count=n,
                           sample=beams[0] + coder.loc)

@@ -122,7 +122,6 @@ class GaussianCoder(_BlockCoder):
     block_size: Optional[int] = 1000
     max_partitions: int = 24
     candidate_chunk: int = 1024
-    dynamic_early_exit: bool = False
     # Proposal bit-generator ("fmix" default | "threefry"), part of the
     # stream contract like coding_bits — see rng.normal_stream.
     stream: str = "fmix"
@@ -134,7 +133,6 @@ class GaussianCoder(_BlockCoder):
             coding_bits=self.coding_bits,
             max_partitions=self.max_partitions,
             candidate_chunk=self.candidate_chunk,
-            dynamic_early_exit=self.dynamic_early_exit,
             stream=self.stream)
 
     def _encode_block(self, target, coder, bkey, ratios):
@@ -166,7 +164,6 @@ class BeamSearchCoder(_BlockCoder):
     block_size: Optional[int] = 1000
     max_partitions: int = 24
     use_fused_kernel: bool = False
-    dynamic_early_exit: bool = False
     # Fast serving mode: one shared candidate pool per partition (B x less
     # candidate generation, MXU-matmul scoring) at a measured sample-quality
     # cost — see beam_search.BeamSearchConfig.shared_pool.  Part of the
@@ -184,7 +181,6 @@ class BeamSearchCoder(_BlockCoder):
             extra_samples=self.extra_samples,
             max_partitions=self.max_partitions,
             use_fused_kernel=self.use_fused_kernel,
-            dynamic_early_exit=self.dynamic_early_exit,
             shared_pool=self.shared_pool,
             stream=self.stream)
 

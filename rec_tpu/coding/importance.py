@@ -48,8 +48,6 @@ class ImportanceCoderConfig:
     coding_bits: int = 12
     max_partitions: int = 24
     candidate_chunk: int = 1024
-    # See BeamSearchConfig.dynamic_early_exit (same trade-off).
-    dynamic_early_exit: bool = False
     # Proposal bit-generator, part of the stream contract (see
     # rng.normal_stream): "fmix" (default) | "threefry".
     stream: str = "fmix"
@@ -202,22 +200,9 @@ def encode_block(cfg: ImportanceCoderConfig, target: GaussianParams,
     def step(carry, t):
         return _encode_step(cfg, n, block_key, ratios, carry, t)
 
-    if cfg.dynamic_early_exit:
-        # Early-exit loop (see beam_search.encode_block): indices are
-        # written into a carried buffer instead of scan outputs.
-        def body(c):
-            t, carry, indices = c
-            new_carry, idx = step(carry, t)
-            return t + 1, new_carry, indices.at[t].set(idx)
-
-        _, (_, final_coder), indices = jax.lax.while_loop(
-            lambda c: c[0] < n, body,
-            (jnp.asarray(0, jnp.int32), (target, coder),
-             jnp.zeros((cfg.max_partitions,), jnp.int32)))
-    else:
-        (_, final_coder), indices = jax.lax.scan(
-            step, (target, coder),
-            jnp.arange(cfg.max_partitions, dtype=jnp.int32))
+    (_, final_coder), indices = jax.lax.scan(
+        step, (target, coder),
+        jnp.arange(cfg.max_partitions, dtype=jnp.int32))
     return CodedBlock(indices=indices, count=n, sample=final_coder.loc)
 
 

@@ -40,8 +40,11 @@ BLOCK_TAG = 0xb10c  # latent-block subtree
 MODEL_TAG = 0x30de1  # model-side sampling (training-time posterior samples)
 POOL_TAG = 0x900d  # shared per-partition candidate pool (beam shared_pool)
 
-FNV_OFFSET = jnp.uint32(2166136261)
-FNV_PRIME = jnp.uint32(16777619)
+# numpy (not jnp) scalars: creating a jnp constant at import time would
+# initialize the XLA backend, which breaks jax.distributed.initialize in
+# multi-host CLIs (it must run before any backend use).
+FNV_OFFSET = np.uint32(2166136261)
+FNV_PRIME = np.uint32(16777619)
 
 
 def root_key(seed) -> jax.Array:

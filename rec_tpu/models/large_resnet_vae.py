@@ -233,6 +233,14 @@ class LargeResNetVAE(nn.Module):
                                       out2["analytic_kl"]]),
             "empirical_kld": jnp.stack([out1["empirical_kld"],
                                         out2["empirical_kld"]]),
+            # Per-group (posterior, prior) pairs in TOP-DOWN (transmission)
+            # order — block 2 then block 1, matching compress's latents
+            # list — for coder initialization (ref :557-583 initializes per
+            # stochastic block).  A tuple, not a stack: the two groups have
+            # different spatial shapes.
+            "posterior_prior_pairs": (
+                (out2["posterior"], out2["prior"]),
+                (out1["posterior"], out1["prior"])),
         }
 
     def compress(self, image, seed):

@@ -60,10 +60,18 @@ def make_train_step(model, cfg: LosslessTrainConfig, tx: optax.GradientTransform
             else:
                 current_beta = state.beta
             loss = -log_lik + current_beta * kld
+            # Per-res-block KL scalars + expected max (the reference logs
+            # KL/dim_{i+1} per block and Expected_Max_KL each log step,
+            # ref train_generative_model.py:275,505-506).
+            kl_blocks = jnp.mean(out["analytic_kl"], axis=1)       # (N,)
             aux = {"loss": loss, "nll": -log_lik, "kl": kld,
                    "true_kl": true_kl, "bpp": bpp, "beta": current_beta,
                    "elbo_bpd": (-log_lik + true_kl)
-                   / (num_dims * LOG2)}
+                   / (num_dims * LOG2),
+                   "kl_per_block": kl_blocks,
+                   "expected_max_kl": jnp.mean(
+                       jnp.max(out["analytic_kl"], axis=0)),
+                   "reconstruction": out["reconstruction"]}
             return loss, aux
 
         (loss, metrics), grads = jax.value_and_grad(
@@ -85,6 +93,51 @@ def make_train_step(model, cfg: LosslessTrainConfig, tx: optax.GradientTransform
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, ema_params=ema,
                                beta=beta)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=0)
+
+
+def make_vae_train_step(model, cfg: LosslessTrainConfig,
+                        tx: optax.GradientTransformation, num_pixels: int):
+    """Train step for the dense MNIST VAE (``model=vae`` branch of the
+    reference trainer, ref train_generative_model.py:55-68,240-294): no
+    free-bits floor (lamb=0 upstream), loss = NLL + beta * mean KL."""
+
+    def step_fn(state: TrainState, batch, key):
+        def objective(params):
+            out = model.apply(params, batch, key)
+            log_lik = jnp.mean(out["log_likelihood"])
+            kld = jnp.mean(out["kl"])
+            num_dims = batch.size // batch.shape[0]
+            if cfg.anneal:
+                current_beta = state.beta * jnp.minimum(
+                    1.0, state.step / cfg.annealing_end)
+            else:
+                current_beta = state.beta
+            loss = -log_lik + current_beta * kld
+            # Expected max per-dim analytic KL vs the N(0,1) prior
+            # (ref :275 logs mean-over-batch max-over-dims KL).
+            post = out["posterior"]
+            kl_dim = 0.5 * (jnp.square(post.scale) + jnp.square(post.loc)
+                            - 1.0 - 2.0 * jnp.log(post.scale))
+            aux = {"loss": loss, "nll": -log_lik, "kl": kld,
+                   "true_kl": kld, "beta": current_beta,
+                   "bpp": kld / (num_pixels * LOG2),
+                   "elbo_bpd": (-log_lik + kld) / (num_dims * LOG2),
+                   "kl_per_block": jnp.mean(kl_dim, axis=0),
+                   "expected_max_kl": jnp.mean(jnp.max(kl_dim, axis=-1)),
+                   "reconstruction": out["reconstruction"]}
+            return loss, aux
+
+        (loss, metrics), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema_params, params, cfg.ema_decay)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, ema_params=ema,
+                               beta=state.beta)
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=0)

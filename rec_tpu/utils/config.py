@@ -15,6 +15,13 @@ from typing import Any, List, Sequence
 
 
 def _convert(value: str) -> Any:
+    # Accept shell-style booleans/none: `verify=false` must not become the
+    # truthy string "false".
+    low = value.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
     try:
         return ast.literal_eval(value)
     except (ValueError, SyntaxError):

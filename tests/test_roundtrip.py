@@ -232,39 +232,6 @@ class TestDeterminism:
                                       np.asarray(c2.sample))
 
 
-class TestDynamicEarlyExit:
-    """The opt-in while_loop partition loop must produce IDENTICAL indices
-    and samples to the default scan path."""
-
-    def test_beam_paths_agree(self):
-        target, coder = _random_latent(11, shape=(40,), kl_scale=0.35)
-        base = dict(kl_per_partition=3.0, n_beams=4, extra_samples=1.2,
-                    block_size=None, max_partitions=16)
-        scan_coder = BeamSearchCoder(**base)
-        dyn_coder = BeamSearchCoder(dynamic_early_exit=True, **base)
-        a = scan_coder.encode(target, coder, seed=5)
-        b = dyn_coder.encode(target, coder, seed=5)
-        np.testing.assert_array_equal(np.asarray(a.indices),
-                                      np.asarray(b.indices))
-        np.testing.assert_array_equal(np.asarray(a.sample),
-                                      np.asarray(b.sample))
-        # Cross-path decode: scan-encoded stream decodes on the dynamic path
-        dec = dyn_coder.decode(coder, a.indices, a.counts, seed=5)
-        np.testing.assert_array_equal(np.asarray(dec), np.asarray(a.sample))
-
-    def test_importance_paths_agree(self):
-        target, coder = _random_latent(12, shape=(40,), kl_scale=0.35)
-        base = dict(kl_per_partition=3.0, coding_bits=8, block_size=None,
-                    max_partitions=16, candidate_chunk=64)
-        a = GaussianCoder(**base).encode(target, coder, seed=6)
-        b = GaussianCoder(dynamic_early_exit=True, **base).encode(
-            target, coder, seed=6)
-        np.testing.assert_array_equal(np.asarray(a.indices),
-                                      np.asarray(b.indices))
-        np.testing.assert_array_equal(np.asarray(a.sample),
-                                      np.asarray(b.sample))
-
-
 class TestImportanceExtensions:
     def test_finite_alpha_roundtrip(self):
         """Gumbel-perturbed (finite-alpha) selection still decodes bit-exact
