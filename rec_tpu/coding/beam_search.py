@@ -55,13 +55,14 @@ class BeamSearchConfig:
     # while the transmitted indices stay valid for the f32 decode replay, so
     # bit-exactness is unaffected (the reported sample IS the replay).
     score_dtype: str = "bfloat16"
-    # Opt-in fused Pallas partition-step kernel on TPU (in-kernel threefry
-    # + erfinv + scoring; see ops/fused_beam_step.py).  Wins ~25% on the
-    # isolated scoring op but loses in the full encode (the pallas boundary
-    # blocks XLA's fusion of the surrounding aux-distribution math), so the
-    # default stays on the XLA path — see PERF.md.  Selection-only either
-    # way: winners/decodes always replay through jax.random in f32.
-    use_fused_kernel: bool = False
+    # Whole-partition Pallas mega-kernel on TPU (ops/mega_beam.py): the
+    # batched encode's ENTIRE partition chain — candidate generation,
+    # scoring, top-k, beam-carry — runs inside one kernel, removing the
+    # scan path's per-step dispatch + HBM floor (PERF.md round 3).
+    # Selection-only: winners and decodes always replay through the pinned
+    # XLA path in f32, so the bit-exact contract is unchanged.  Ignored
+    # off-TPU and for shared_pool (already one MXU contraction per step).
+    use_fused_kernel: bool = False  # flipped on after on-chip validation
     # Candidate bit-generator: "fmix" (murmur3-finalizer counter hash, the
     # default — ~2.5x fewer integer ops on the measured encode bottleneck,
     # quality-validated against threefry in tests/test_roundtrip.py) or
@@ -165,28 +166,19 @@ def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
                 lambda h: rng.beam_stream_key(skey, h))(hashes)   # (B, 2)
             eps_gen = jax.vmap(
                 lambda bk: rng.normal_stream(bk, (S, D), stream=cfg.stream))
-            if _use_fused(cfg):
-                from ..ops.beam_score import _quadratic_coeffs
-                from ..ops.fused_beam_step import fused_candidate_scores
-
-                qa, qb, qc = _quadratic_coeffs(aux_t, cum_coder)
-                scores = fused_candidate_scores(
-                    beam_keys.astype(jnp.uint32), beams, aux_scale, qa, qb,
-                    qc, S=S, D=D, stream=cfg.stream)
-            else:
-                # Scoring runs in reduced precision: generate f32 and cast
-                # (the scored value must be the ROUNDING of the f32 sample
-                # the decoder regenerates); the cast fuses into the
-                # reduction so no f32 candidate tensor reaches HBM.
-                # Selection-only: winners are regenerated in f32 below, so
-                # the carried beams stay exactly replay-consistent.
-                sdt = jnp.dtype(cfg.score_dtype)
-                eps_lp = eps_gen(beam_keys).astype(sdt)        # (B, S, D)
-                combined_lp = (beams.astype(sdt)[:, None, :]
-                               + aux_scale.astype(sdt) * eps_lp)
-                scores = jnp.sum(
-                    log_density_ratio(combined_lp.astype(jnp.float32),
-                                      aux_t, cum_coder), axis=-1)
+            # Scoring runs in reduced precision: generate f32 and cast
+            # (the scored value must be the ROUNDING of the f32 sample
+            # the decoder regenerates); the cast fuses into the
+            # reduction so no f32 candidate tensor reaches HBM.
+            # Selection-only: winners are regenerated in f32 below, so
+            # the carried beams stay exactly replay-consistent.
+            sdt = jnp.dtype(cfg.score_dtype)
+            eps_lp = eps_gen(beam_keys).astype(sdt)        # (B, S, D)
+            combined_lp = (beams.astype(sdt)[:, None, :]
+                           + aux_scale.astype(sdt) * eps_lp)
+            scores = jnp.sum(
+                log_density_ratio(combined_lp.astype(jnp.float32),
+                                  aux_t, cum_coder), axis=-1)
         # First partition: all beams share the empty history, so their
         # candidate sets are identical; restrict to beam 0 to get B distinct
         # starts (ref beam_search_coder.py:495-505 uses a single stream).
@@ -270,6 +262,14 @@ def encode_blocks(cfg: BeamSearchConfig, targets: GaussianParams,
                   ratios: Optional[jnp.ndarray] = None) -> BeamCodedBlock:
     """Batched encode of N latent blocks with partition early exit.
 
+    On TPU with ``use_fused_kernel`` (the default there), the whole
+    partition chain runs as ONE Pallas mega-kernel (ops/mega_beam.py):
+    generation + scoring + top-k + carry never leave VMEM, removing the
+    per-step dispatch + HBM floor of the scan path.  The scan path below is
+    the reference semantics (and the CPU/fallback path); the kernel's
+    returned sample is always the pinned decode replay, so the bit-exact
+    contract is identical on both paths.
+
     Same streams and outputs as ``vmap(encode_block)``, but the partition
     scan is OUTERMOST with the per-block work vmapped inside it, so one
     scalar ``lax.cond`` skips every step past the batch's max partition
@@ -283,6 +283,21 @@ def encode_blocks(cfg: BeamSearchConfig, targets: GaussianParams,
     """
     D = targets.loc.shape[-1]
     P = cfg.max_partitions
+
+    if _use_fused(cfg) and not cfg.shared_pool:
+        from ..ops.mega_beam import mega_encode_blocks
+
+        indices, n = mega_encode_blocks(
+            targets, coders, bkeys,
+            kl_per_partition=cfg.kl_per_partition, n_beams=cfg.n_beams,
+            n_samples=cfg.n_samples, max_partitions=P, stream=cfg.stream,
+            ratios=ratios)
+        # Selection-only kernel: report the pinned decode replay as the
+        # carried sample (the public Coder.encode replays again — cheap —
+        # and models consume that replay, so bit-exactness holds by
+        # construction).
+        sample = _replay_flat(cfg, coders, indices, n, bkeys, ratios)
+        return BeamCodedBlock(indices=indices, count=n, sample=sample)
 
     kls = jax.vmap(lambda t, c: jnp.sum(kl_divergence(t, c)))(targets, coders)
     n = jnp.minimum(num_partitions(kls, cfg.kl_per_partition),

@@ -163,7 +163,9 @@ class BeamSearchCoder(_BlockCoder):
     extra_samples: float = 1.2
     block_size: Optional[int] = 1000
     max_partitions: int = 24
-    use_fused_kernel: bool = False
+    # Whole-partition Pallas mega-kernel on TPU (see
+    # beam_search.BeamSearchConfig.use_fused_kernel).
+    use_fused_kernel: bool = False  # flipped on after on-chip validation
     # Fast serving mode: one shared candidate pool per partition (B x less
     # candidate generation, MXU-matmul scoring) at a measured sample-quality
     # cost — see beam_search.BeamSearchConfig.shared_pool.  Part of the

@@ -45,46 +45,89 @@ class TestThreefryReplication:
         assert abs(x.mean()) < 0.02 and abs(x.std() - 1.0) < 0.02
 
 
-class TestFusedBeamStep:
+class TestMegaBeam:
+    """Whole-partition mega-kernel (ops/mega_beam.py) vs the scan-path
+    reference semantics, through the Pallas interpreter on CPU.  Scoring
+    ULP ties may flip an index on rare inputs (selection-only; both codes
+    are valid), so the assertion is exact index agreement on these seeds
+    plus equal decode quality."""
+
     @pytest.mark.parametrize("stream", ["fmix", "threefry"])
-    def test_interpret_parity_with_padding(self, stream):
-        # ADVICE r1: cover BOTH padding paths of the per-beam-grid
-        # structure — S not divisible by 8 (sublane pad) and D not
-        # divisible by 128 (lane pad) — against the rng.normal_stream +
-        # quadratic reference scorer, through the Pallas interpreter on CPU.
-        # Row addressing: one key per beam, candidate s = counter rows
-        # [s*D, (s+1)*D) of that key's stream.
+    def test_interpret_matches_scan_path(self, stream):
         from rec_tpu.coding import rng as crng
-        from rec_tpu.ops.fused_beam_step import fused_candidate_scores
+        from rec_tpu.coding.beam_search import (BeamSearchConfig,
+                                                decode_blocks, encode_blocks)
+        from rec_tpu.coding.gauss import GaussianParams
+        from rec_tpu.ops.mega_beam import mega_encode_blocks
 
-        B, S, D = 3, 5, 200
-        rs = np.random.RandomState(7)
-        root = jax.random.PRNGKey(123)
-        beam_keys = jax.vmap(lambda b: jax.random.fold_in(root, b))(
-            jnp.arange(B))
+        rs = np.random.RandomState(0)
+        N, D = 3, 40
+        t = GaussianParams(jnp.asarray(rs.randn(N, D) * 0.4, jnp.float32),
+                           jnp.asarray(np.exp(rs.randn(N, D) * 0.1),
+                                       jnp.float32))
+        c = GaussianParams(jnp.zeros((N, D)), jnp.ones((N, D)))
+        cfg = BeamSearchConfig(kl_per_partition=3.0, n_beams=4,
+                               extra_samples=1.0, max_partitions=8,
+                               stream=stream)
+        root = crng.root_key(11)
+        bkeys = jax.vmap(lambda b: crng.block_key(root, b))(jnp.arange(N))
+        ref = encode_blocks(cfg, t, c, bkeys)
+        ind, cnt = mega_encode_blocks(
+            t, c, bkeys, kl_per_partition=3.0, n_beams=4,
+            n_samples=cfg.n_samples, max_partitions=8, stream=stream,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(cnt))
+        np.testing.assert_array_equal(np.asarray(ref.indices),
+                                      np.asarray(ind))
+        # The transmitted stream decodes identically on the standard replay.
+        dec = decode_blocks(cfg, c, ind, cnt, bkeys)
+        np.testing.assert_array_equal(np.asarray(dec),
+                                      np.asarray(decode_blocks(
+                                          cfg, c, ref.indices, ref.count,
+                                          bkeys)))
 
-        beams = jnp.asarray(rs.randn(B, D), jnp.float32)
-        aux_scale = jnp.asarray(np.exp(0.2 * rs.randn(D)), jnp.float32)
-        a = jnp.asarray(0.1 * rs.randn(D), jnp.float32)
-        b = jnp.asarray(rs.randn(D), jnp.float32)
-        c_sum = jnp.float32(1.75)
+    def test_interpret_fitted_ratios_and_needle(self):
+        from rec_tpu.coding import rng as crng
+        from rec_tpu.coding.beam_search import (BeamSearchConfig,
+                                                encode_blocks)
+        from rec_tpu.coding.gauss import GaussianParams
+        from rec_tpu.ops.mega_beam import mega_encode_blocks
 
-        got = fused_candidate_scores(beam_keys.astype(jnp.uint32), beams,
-                                     aux_scale, a, b, c_sum, S=S, D=D,
-                                     stream=stream, interpret=True)
+        # Fitted aux-ratio table path.
+        rs = np.random.RandomState(3)
+        N, D = 2, 60
+        t = GaussianParams(jnp.asarray(rs.randn(N, D) * 0.5, jnp.float32),
+                           jnp.asarray(np.exp(rs.randn(N, D) * 0.15),
+                                       jnp.float32))
+        c = GaussianParams(jnp.zeros((N, D)), jnp.ones((N, D)))
+        ratios = jnp.asarray([0.9, 0.8, 0.6, 0.5], jnp.float32)
+        cfg = BeamSearchConfig(kl_per_partition=3.0, n_beams=5,
+                               extra_samples=1.2, max_partitions=16)
+        root = crng.root_key(17)
+        bkeys = jax.vmap(lambda b: crng.block_key(root, b))(jnp.arange(N))
+        ref = encode_blocks(cfg, t, c, bkeys, ratios)
+        ind, cnt = mega_encode_blocks(
+            t, c, bkeys, kl_per_partition=3.0, n_beams=5,
+            n_samples=cfg.n_samples, max_partitions=16, stream="fmix",
+            ratios=ratios, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.indices),
+                                      np.asarray(ind))
 
-        eps = jax.vmap(lambda k: crng.normal_stream(k, (S, D),
-                                                    stream=stream))(beam_keys)
-        x = beams[:, None, :] + aux_scale * eps
-        want = jnp.sum((a * x + b) * x, axis=-1) + c_sum
-
-        assert got.shape == (B, S)
-        # erfinv op-ordering differences are ~1 ulp per element; summed over
-        # D=200 they stay far below any score gap that could flip a top-k.
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-4)
-
-
+        # Needle target: the over-budget clamp must saturate identically.
+        t2 = GaussianParams(jnp.full((1, 30), 5.1), jnp.full((1, 30), 1e-3))
+        c2 = GaussianParams(jnp.zeros((1, 30)), jnp.ones((1, 30)))
+        cfg2 = BeamSearchConfig(kl_per_partition=3.0, n_beams=4,
+                                extra_samples=1.2, max_partitions=8)
+        bk2 = jax.vmap(lambda b: crng.block_key(crng.root_key(9), b))(
+            jnp.arange(1))
+        ref2 = encode_blocks(cfg2, t2, c2, bk2)
+        ind2, cnt2 = mega_encode_blocks(
+            t2, c2, bk2, kl_per_partition=3.0, n_beams=4,
+            n_samples=cfg2.n_samples, max_partitions=8, stream="fmix",
+            interpret=True)
+        assert int(np.asarray(cnt2)[0]) == 8
+        np.testing.assert_array_equal(np.asarray(ref2.indices),
+                                      np.asarray(ind2))
 class TestNormalStreamRow:
     @pytest.mark.parametrize("stream", ["fmix", "threefry"])
     def test_row_matches_chunk(self, stream):
