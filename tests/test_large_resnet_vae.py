@@ -46,6 +46,7 @@ def test_compress_decompress(model_and_params):
 
 @pytest.mark.parametrize("likelihood", ["gaussian", "laplace", "ms-ssim",
                                         "ms-ssim-laplace"])
+@pytest.mark.slow
 def test_likelihood_family(likelihood):
     cfg = LargeResNetVAEConfig(first_deterministic_filters=8,
                                second_deterministic_filters=8,

@@ -43,6 +43,7 @@ class TestResidualCoding:
 
 
 class TestLosslessPipeline:
+    @pytest.mark.slow
     def test_file_alone_recovers_pixels(self, tmp_path):
         cfg = ResNetVAEConfig(num_res_blocks=2, deterministic_filters=16,
                               stochastic_filters=4)

@@ -39,6 +39,7 @@ def _check_model(model, x, n_levels, tmp_path=None):
 
 
 class TestLarge1LevelVAE:
+    @pytest.mark.slow
     def test_end_to_end(self, tmp_path):
         model = Large1LevelVAE(num_filters=16, coder=CODER)
         x = _image(32, 32)
@@ -52,6 +53,7 @@ class TestLarge1LevelVAE:
 
 
 class TestLarge2LevelVAE:
+    @pytest.mark.slow
     def test_end_to_end(self, tmp_path):
         model = Large2LevelVAE(level_1_filters=12, level_2_filters=8,
                                coder=CODER)
@@ -66,6 +68,7 @@ class TestLarge2LevelVAE:
 
 
 class TestLarge4LevelVAE:
+    @pytest.mark.slow
     def test_end_to_end(self):
         model = Large4LevelVAE(level_1_filters=8, level_2_filters=8,
                                level_3_filters=8, level_4_filters=8,

@@ -214,6 +214,7 @@ class TestMNISTVAE:
                           axis=-1)
         np.testing.assert_allclose(np.asarray(lp), expected, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_snis_prior_vae(self):
         from rec_tpu.models.mnist_vae import MNISTSNISVAE
 
@@ -230,6 +231,7 @@ class TestMNISTVAE:
         assert out["kl"].shape == (2,)
         assert bool(jnp.all(jnp.isfinite(out["kl"])))
 
+    @pytest.mark.slow
     def test_snis(self):
         from rec_tpu.models.mnist_vae import SNISDistribution
 

@@ -75,6 +75,7 @@ def test_mesh_subsets(latent):
 
 
 class TestBatchCompress:
+    @pytest.mark.slow
     def test_batched_equals_single(self):
         """vmapped multi-image compress must produce exactly the indices and
         samples of per-image encodes (per-image seed contract)."""

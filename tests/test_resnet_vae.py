@@ -48,6 +48,7 @@ class TestForward:
         assert float(r.min()) >= 1.0 / 512.0 - 1e-6
         assert float(r.max()) <= 1.0 - 1.0 / 512.0 + 1e-6
 
+    @pytest.mark.slow
     def test_iaf_forward(self):
         model = _tiny_model(use_iaf=True)
         x = jnp.zeros((1, 16, 16, 3), jnp.float32)

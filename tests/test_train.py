@@ -78,6 +78,7 @@ def test_checkpoint_roundtrip(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
 
 
+@pytest.mark.slow
 def test_lossy_train_step():
     from rec_tpu.models.lossy import Large1LevelVAE
     from rec_tpu.train.lossy import LossyTrainConfig
@@ -114,3 +115,37 @@ def test_config_overrides():
     assert cfg.lr == 5e-4 and cfg.inner.a == 7 and cfg.name == "hello"
     with pytest.raises(KeyError):
         apply_overrides(Outer(), ["bogus=1"])
+
+
+def test_metrics_include_observability_fields(setup):
+    """Per-block KL scalars, expected_max_kl, and the reconstruction for
+    image summaries (ref train_generative_model.py:458-506)."""
+    _, _, state, step, x = setup
+    state = _fresh(state)
+    _, m = step(state, x, jax.random.PRNGKey(3))
+    assert m["kl_per_block"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(m["kl_per_block"])))
+    assert float(m["expected_max_kl"]) >= 0.0
+    assert m["reconstruction"].shape == x.shape
+
+
+def test_vae_train_step_descends():
+    """make_vae_train_step (model=vae branch, ref :55-68,240-294)."""
+    from rec_tpu.models.mnist_vae import MNISTVAE
+    from rec_tpu.train.lossless import make_vae_train_step
+
+    model = MNISTVAE(latents=8, hidden_size=16)
+    x = jnp.asarray(np.random.RandomState(1).rand(8, 28, 28, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    tx = make_optimizer("adam", staircase_schedule(3e-4, 1000, 0.5))
+    state = init_state(params, tx, beta=1.0)
+    step = make_vae_train_step(model, LosslessTrainConfig(lamb=0.0), tx,
+                               num_pixels=784)
+    losses = []
+    key = jax.random.PRNGKey(9)
+    for i in range(25):
+        state, m = step(state, x, jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert m["kl_per_block"].shape == (8,)
+    assert m["reconstruction"].shape == x.shape
