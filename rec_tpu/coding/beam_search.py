@@ -58,11 +58,13 @@ class BeamSearchConfig:
     # Whole-partition Pallas mega-kernel on TPU (ops/mega_beam.py): the
     # batched encode's ENTIRE partition chain — candidate generation,
     # scoring, top-k, beam-carry — runs inside one kernel, removing the
-    # scan path's per-step dispatch + HBM floor (PERF.md round 3).
-    # Selection-only: winners and decodes always replay through the pinned
-    # XLA path in f32, so the bit-exact contract is unchanged.  Ignored
-    # off-TPU and for shared_pool (already one MXU contraction per step).
-    use_fused_kernel: bool = False  # flipped on after on-chip validation
+    # scan path's per-step dispatch + HBM floor.  Measured 4.8x on the
+    # coder core (25.3 -> 5.3 ms, 9-block 9000-dim latent, 24 live
+    # partitions, v5e; PERF.md round 3).  Selection-only: winners and
+    # decodes always replay through the pinned XLA path in f32, so the
+    # bit-exact contract is unchanged.  Ignored off-TPU and for
+    # shared_pool (already one MXU contraction per step).
+    use_fused_kernel: bool = True
     # Candidate bit-generator: "fmix" (murmur3-finalizer counter hash, the
     # default — ~2.5x fewer integer ops on the measured encode bottleneck,
     # quality-validated against threefry in tests/test_roundtrip.py) or

@@ -107,7 +107,7 @@ def _normal(bits):
     return np.float32(np.sqrt(2.0)) * erfinv_f32(u)
 
 
-def _kernel(B, S, D, D_pad, S_pad, P_pad, stream,
+def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
             counts_ref, skeys_ref, qa_ref, qb_ref, ascale_ref,
             out_ref,
             beams_ref, beams_tmp, hist_ref, hist_tmp, scores_ref,
@@ -117,6 +117,10 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, stream,
     nb = pl.program_id(0)
     t = pl.program_id(1)
     n_b = counts_ref[nb]
+    # qa/qb/ascale arrive whole in VMEM as (N*P, D_pad) — Mosaic's (8, 128)
+    # block-tiling rule forbids a (1, 1, D_pad) blocked view, so we index
+    # the (block, step) row dynamically instead.
+    row = nb * np.int32(P) + t
 
     @pl.when(t == 0)
     def _init():
@@ -129,9 +133,9 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, stream,
     def _step():
         sk1 = skeys_ref[nb, t, 0]
         sk2 = skeys_ref[nb, t, 1]
-        ascale = ascale_ref[0, 0, :]                       # (D_pad,)
-        qa = qa_ref[0, 0, :]
-        qb = qb_ref[0, 0, :]
+        ascale = ascale_ref[pl.ds(row, 1), :]              # (1, D_pad)
+        qa = qa_ref[pl.ds(row, 1), :]
+        qb = qb_ref[pl.ds(row, 1), :]
 
         # --- candidate generation + scoring, one beam at a time ---------
         # Stream contract (coding/rng.py): beam key = fold_in(step_key,
@@ -189,9 +193,9 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, stream,
         for k in range(B):
             hashes_ref[k] = hashes_tmp[k]
 
-    # The winning beam's history so far; the final write (at the last t of
-    # this block) is what lands in HBM when the output block rotates.
-    out_ref[0, :] = hist_ref[0, :]
+    # The winning beam's history so far; the write at this block's last t
+    # is the one that sticks (the output lives whole in VMEM).
+    out_ref[pl.ds(nb, 1), :] = hist_ref[0:1, :]
 
 
 def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
@@ -256,22 +260,27 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
         lambda t: jax.random.key_data(rng.step_key(bk, t)))(jnp.arange(P))
     )(bkeys).astype(jnp.uint32)                                # (N, P, 2)
 
-    kernel = functools.partial(_kernel, B, S, D, D_pad, S_pad, P_pad, stream)
+    # The (N, P, D_pad) schedule tensors travel whole into VMEM as
+    # (N*P, D_pad) — ~N*P*4 KB each, a few MB at production size (VMEM is
+    # ~16 MB/core) — because Mosaic's block-tiling rule has no legal
+    # (1, 1, D_pad) view; the kernel row-indexes them dynamically.
+    qa = qa.reshape(N * P, D_pad)
+    qb = qb.reshape(N * P, D_pad)
+    ascale = ascale.reshape(N * P, D_pad)
+
+    kernel = functools.partial(_kernel, B, S, D, D_pad, S_pad, P_pad, P,
+                               stream)
     hist = pl.pallas_call(
         kernel,
         grid=(N, P),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (N,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # skeys (N, P, 2)
-            pl.BlockSpec((1, 1, D_pad), lambda nb, t: (nb, t, 0),
-                         memory_space=pltpu.VMEM),   # qa
-            pl.BlockSpec((1, 1, D_pad), lambda nb, t: (nb, t, 0),
-                         memory_space=pltpu.VMEM),   # qb
-            pl.BlockSpec((1, 1, D_pad), lambda nb, t: (nb, t, 0),
-                         memory_space=pltpu.VMEM),   # ascale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qa (N*P, D_pad)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # qb
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ascale
         ],
-        out_specs=pl.BlockSpec((1, P_pad), lambda nb, t: (nb, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, P_pad), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((B, D_pad), jnp.float32),     # beams
