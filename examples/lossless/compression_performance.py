@@ -51,7 +51,7 @@ from rec_tpu.train import (CheckpointManager, init_state, make_optimizer,
 from rec_tpu.utils.config import apply_overrides, print_config
 from rec_tpu.utils.logging import setup_logger
 from rec_tpu.utils.metrics import psnr
-from rec_tpu.utils.profiling import PhaseTimer
+from rec_tpu.utils.profiling import PhaseTimer, device_fence
 
 LOG2 = float(np.log(2.0))
 
@@ -159,7 +159,8 @@ class ModelAdapter:
 
     def compress(self, params, x, seed):
         """Returns (latents list, total_kl, reconstruction)."""
-        comp = jax.block_until_ready(self._compress(params, x, seed))
+        comp = self._compress(params, x, seed)
+        device_fence(comp)  # block_until_ready is unreliable over the tunnel
         if self.kind == "resnet_vae":
             latents = [(np.asarray(comp["indices"][b]),
                         np.asarray(comp["counts"][b]))
@@ -459,8 +460,8 @@ def _compress_one(cfg, log, adapter: ModelAdapter, coder, params, i, img, x,
 
     t0 = time.time()
     with timer.phase("decode"):
-        recon = jax.block_until_ready(
-            adapter.decompress(params, (h, w), latents2, rseed))
+        recon = adapter.decompress(params, (h, w), latents2, rseed)
+        device_fence(recon)
     decomp_time = time.time() - t0
 
     # Residual bits: actual coded bits when true_lossless, else the

@@ -58,6 +58,7 @@ from rec_tpu.parallel.mesh import data_axis_sharding, init_distributed
 from rec_tpu.train import (CheckpointManager, init_state, make_optimizer,
                            staircase_schedule)
 from rec_tpu.utils.config import apply_overrides, print_config
+from rec_tpu.utils.profiling import device_fence
 from rec_tpu.utils.logging import setup_logger
 
 LOG2 = float(np.log(2.0))
@@ -205,7 +206,8 @@ def main(argv):
         sds = global_batch_array(jnp.asarray(seeds), mesh)
 
         t0 = time.time()
-        out = jax.block_until_ready(compress(params, ims, sds))
+        out = compress(params, ims, sds)
+        device_fence(out)  # block_until_ready is unreliable over the tunnel
         if not first_batch:  # skip the compile batch in throughput
             t_encode += time.time() - t0
 

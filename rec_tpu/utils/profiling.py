@@ -11,11 +11,27 @@ from collections import defaultdict
 from typing import Dict
 
 import jax
+import numpy as np
+
+
+def device_fence(tree) -> None:
+    """Reliable device-completion barrier for timing boundaries.
+
+    ``jax.block_until_ready`` can return before device completion over
+    remote-device transports (observed on the axon tunnel: a 25 ms encode
+    "completed" in 60 us), silently turning wall-clock timers into
+    dispatch-rate measurements.  Materializing bytes on the host is the
+    one barrier a transport cannot fake, so this fetches a single element
+    of every array leaf.
+    """
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "ndim"):
+            np.asarray(leaf if leaf.ndim == 0 else leaf.ravel()[:1])
 
 
 class PhaseTimer:
-    """Accumulating per-phase wall-clock timer with block_until_ready
-    semantics (device work is flushed at phase exit)."""
+    """Accumulating per-phase wall-clock timer; pass the phase's device
+    outputs as ``sync`` so device work is fenced at phase exit."""
 
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
@@ -28,7 +44,7 @@ class PhaseTimer:
             yield
         finally:
             if sync is not None:
-                jax.block_until_ready(sync)
+                device_fence(sync)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
