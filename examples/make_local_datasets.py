@@ -73,9 +73,17 @@ def main(argv):
                         images=test.astype(np.uint8))
     np.savez_compressed(os.path.join(data_dir, "hopper512_test.npz"),
                         images=img[None].astype(np.uint8))
+    # Big-image training patches for the LargeResNetVAE (CLIC-style): 192px
+    # patches from the same top strip, random-128-cropped per batch by the
+    # dataset pipeline (DatasetConfig.crop_size).
+    big = extract_patches(train_img, 192, 64)
+    big = np.concatenate([big, big[:, :, ::-1]])
+    np.savez_compressed(os.path.join(data_dir, "hopper512_train.npz"),
+                        images=big[rs.permutation(len(big))].astype(np.uint8))
     print(f"hopper32: train {train.shape}, test {test.shape} "
           f"(spatial split, bottom {test_rows} rows held out)")
-    print(f"hopper512: 1 full {img.shape} photo -> {data_dir}/")
+    print(f"hopper512: 1 full {img.shape} photo + {big.shape} train "
+          f"patches -> {data_dir}/")
 
 
 if __name__ == "__main__":

@@ -128,6 +128,41 @@ class TestMegaBeam:
         assert int(np.asarray(cnt2)[0]) == 8
         np.testing.assert_array_equal(np.asarray(ref2.indices),
                                       np.asarray(ind2))
+
+    def test_interpret_vmap_matches_unbatched(self):
+        """Batched serving vmaps model.compress over images, which vmaps
+        the pallas_call (a leading grid dim); per-image results must equal
+        the unbatched kernel's."""
+        from rec_tpu.coding import rng as crng
+        from rec_tpu.ops.mega_beam import mega_encode_blocks
+
+        rs = np.random.RandomState(7)
+        B_img, N, D = 2, 3, 50
+        t = GaussianParams(
+            jnp.asarray(rs.randn(B_img, N, D) * 0.4, jnp.float32),
+            jnp.asarray(np.exp(rs.randn(B_img, N, D) * 0.1), jnp.float32))
+        c = GaussianParams(jnp.zeros((B_img, N, D)), jnp.ones((B_img, N, D)))
+        bkeys = jax.vmap(lambda s: jax.vmap(
+            lambda b: crng.block_key(crng.root_key(s), b))(jnp.arange(N)))(
+            jnp.arange(B_img))
+
+        def enc(tt, cc, kk):
+            return mega_encode_blocks(
+                tt, cc, kk, kl_per_partition=3.0, n_beams=4,
+                n_samples=8, max_partitions=8, stream="fmix",
+                interpret=True)
+
+        ind_b, cnt_b = jax.vmap(enc)(t, c, bkeys)
+        for i in range(B_img):
+            ind_1, cnt_1 = enc(
+                GaussianParams(t.loc[i], t.scale[i]),
+                GaussianParams(c.loc[i], c.scale[i]), bkeys[i])
+            np.testing.assert_array_equal(np.asarray(ind_b[i]),
+                                          np.asarray(ind_1))
+            np.testing.assert_array_equal(np.asarray(cnt_b[i]),
+                                          np.asarray(cnt_1))
+
+
 class TestNormalStreamRow:
     @pytest.mark.parametrize("stream", ["fmix", "threefry"])
     def test_row_matches_chunk(self, stream):
