@@ -108,7 +108,7 @@ def _normal(bits):
 
 
 def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
-            counts_ref, skeys_ref, qa_ref, qb_ref, ascale_ref,
+            counts_ref, bkeys_ref, qa_ref, qb_ref, ascale_ref,
             out_ref,
             beams_ref, beams_tmp, hist_ref, hist_tmp, scores_ref,
             cand_col, hashes_ref, hashes_tmp, parent_ref, cand_ref):
@@ -117,10 +117,11 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
     nb = pl.program_id(0)
     t = pl.program_id(1)
     n_b = counts_ref[nb]
-    # qa/qb/ascale arrive whole in VMEM as (N*P, D_pad) — Mosaic's (8, 128)
-    # block-tiling rule forbids a (1, 1, D_pad) blocked view, so we index
-    # the (block, step) row dynamically instead.
-    row = nb * np.int32(P) + t
+    # qa/qb/ascale stream in as (8, D_pad) blocks of the flattened
+    # (N*P, D_pad) schedule (Mosaic's block-tiling rule has no legal
+    # (1, 1, D_pad) view, and the whole tensor is N*P*4 KB — past VMEM at
+    # production budgets); this step's row is `sub` within the block.
+    sub = (nb * np.int32(P) + t) % np.int32(8)
 
     @pl.when(t == 0)
     def _init():
@@ -131,11 +132,14 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
 
     @pl.when(t < n_b)
     def _step():
-        sk1 = skeys_ref[nb, t, 0]
-        sk2 = skeys_ref[nb, t, 1]
-        ascale = ascale_ref[pl.ds(row, 1), :]              # (1, D_pad)
-        qa = qa_ref[pl.ds(row, 1), :]
-        qb = qb_ref[pl.ds(row, 1), :]
+        # Step key = fold_in(block_key, t) (rng.step_key), computed
+        # in-kernel: an (N, P, 2) step-key table would blow SMEM at
+        # production (blocks × budget) sizes.
+        sk1, sk2 = _fold_in(bkeys_ref[nb, 0], bkeys_ref[nb, 1],
+                            jnp.asarray(t, jnp.uint32))
+        ascale = ascale_ref[pl.ds(sub, 1), :]              # (1, D_pad)
+        qa = qa_ref[pl.ds(sub, 1), :]
+        qb = qb_ref[pl.ds(sub, 1), :]
 
         # --- candidate generation + scoring, one beam at a time ---------
         # Stream contract (coding/rng.py): beam key = fold_in(step_key,
@@ -256,17 +260,22 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
         qb = jnp.pad(qb, ((0, 0), (0, 0), (0, pad_d)))
         ascale = jnp.pad(ascale, ((0, 0), (0, 0), (0, pad_d)))
 
-    skeys = jax.vmap(lambda bk: jax.vmap(
-        lambda t: jax.random.key_data(rng.step_key(bk, t)))(jnp.arange(P))
-    )(bkeys).astype(jnp.uint32)                                # (N, P, 2)
+    bkeys_raw = jax.vmap(jax.random.key_data)(bkeys).astype(jnp.uint32)
 
-    # The (N, P, D_pad) schedule tensors travel whole into VMEM as
-    # (N*P, D_pad) — ~N*P*4 KB each, a few MB at production size (VMEM is
-    # ~16 MB/core) — because Mosaic's block-tiling rule has no legal
-    # (1, 1, D_pad) view; the kernel row-indexes them dynamically.
-    qa = qa.reshape(N * P, D_pad)
-    qb = qb.reshape(N * P, D_pad)
-    ascale = ascale.reshape(N * P, D_pad)
+    # The (N, P, D_pad) schedule tensors flatten to (N*P, D_pad) rows and
+    # stream into VMEM as (8, D_pad) blocks selected by the grid index map
+    # — Mosaic's block-tiling rule has no legal (1, 1, D_pad) view, and
+    # the whole tensor (N*P*4 KB each, ×3) is past VMEM at production
+    # blocks × budget sizes.  Step keys are computed in-kernel from the
+    # per-block keys for the same reason (an (N, P, 2) table outgrows
+    # SMEM).
+    rows8 = -(-(N * P) // 8) * 8
+    pad_r = rows8 - N * P
+    qa = jnp.pad(qa.reshape(N * P, D_pad), ((0, pad_r), (0, 0)))
+    qb = jnp.pad(qb.reshape(N * P, D_pad), ((0, pad_r), (0, 0)))
+    ascale = jnp.pad(ascale.reshape(N * P, D_pad), ((0, pad_r), (0, 0)))
+    sched_spec = pl.BlockSpec((8, D_pad), lambda nb, t: ((nb * P + t) // 8, 0),
+                              memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_kernel, B, S, D, D_pad, S_pad, P_pad, P,
                                stream)
@@ -275,10 +284,10 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
         grid=(N, P),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # counts (N,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # skeys (N, P, 2)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # qa (N*P, D_pad)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # qb
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ascale
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bkeys (N, 2)
+            sched_spec,                              # qa
+            sched_spec,                              # qb
+            sched_spec,                              # ascale
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, P_pad), jnp.int32),
@@ -295,5 +304,5 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
             pltpu.SMEM((B,), jnp.int32),             # cands
         ],
         interpret=interpret,
-    )(n, skeys, qa, qb, ascale)
+    )(n, bkeys_raw, qa, qb, ascale)
     return hist[:, :P], n
