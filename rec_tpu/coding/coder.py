@@ -163,9 +163,10 @@ class BeamSearchCoder(_BlockCoder):
     extra_samples: float = 1.2
     block_size: Optional[int] = 1000
     max_partitions: int = 24
-    # Whole-partition Pallas mega-kernel on TPU (see
-    # beam_search.BeamSearchConfig.use_fused_kernel).
-    use_fused_kernel: bool = False  # flipped on after on-chip validation
+    # Whole-partition Pallas mega-kernel on TPU — the default encode path
+    # since its on-chip validation (4.8x coder-core; see
+    # beam_search.BeamSearchConfig.use_fused_kernel and PERF.md round 3).
+    use_fused_kernel: bool = True
     # Fast serving mode: one shared candidate pool per partition (B x less
     # candidate generation, MXU-matmul scoring) at a measured sample-quality
     # cost — see beam_search.BeamSearchConfig.shared_pool.  Part of the
