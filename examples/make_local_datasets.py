@@ -80,6 +80,15 @@ def main(argv):
     big = np.concatenate([big, big[:, :, ::-1]])
     np.savez_compressed(os.path.join(data_dir, "hopper512_train.npz"),
                         images=big[rs.permutation(len(big))].astype(np.uint8))
+    # 256px patches (the reference's CLIC crop size, ref lossless/
+    # datasets.py random_crop 256): at a /64 downsampling factor, smaller
+    # crops never show the model an interior receptive field, and its
+    # priors then diverge on full-size images.
+    big256 = extract_patches(train_img, 256, 64)
+    big256 = np.concatenate([big256, big256[:, :, ::-1]])
+    np.savez_compressed(
+        os.path.join(data_dir, "hopper256_train.npz"),
+        images=big256[rs.permutation(len(big256))].astype(np.uint8))
     print(f"hopper32: train {train.shape}, test {test.shape} "
           f"(spatial split, bottom {test_rows} rows held out)")
     print(f"hopper512: 1 full {img.shape} photo + {big.shape} train "

@@ -34,6 +34,7 @@ DATASET_SHAPES = {
     # grace_hopper.jpg (examples/make_local_datasets.py): 32x32 patches with
     # a spatial train/test split, and the full photo as a Kodak-like image.
     "hopper32": (32, 32, 3),
+    "hopper256": (256, 256, 3),
     "hopper512": (600, 512, 3),
 }
 
