@@ -1,10 +1,19 @@
 """Benchmark: flagship RVAE-24 single-image REC encode throughput on one chip.
 
+Default configuration (round 4): the PRODUCTION path — the committed trained
+checkpoint (`checkpoints/h32`, 60k-iter EMA params), fitted aux-variance
+ratios, auto-grown partition budget, real-photograph test images.  This is
+the configuration the CLIs actually serve; benchmarking an untrained model
+at a static 24-partition budget (rounds 1-3) under-states both the budget
+(4-6x) and the throughput (12 vs 23 img/s).  If no checkpoint exists the
+bench falls back to the untrained static-budget headline so the number is
+always comparable to *something* historical.
+
 Paper eval settings (BASELINE.md): beam search B=20, extra_samples=1.2,
-Omega=3, block_size=1000, num_res_blocks=24, CIFAR-sized 32x32 input.  The
-whole compress (inference pass + 24-block generative pass with in-scan REC
-coding + decode-replay) is ONE jitted program; we report steady-state
-images/sec.
+Omega=3, block_size=1000, num_res_blocks=24, 32x32 input.  The whole
+compress (inference pass + 24-block generative pass with in-scan REC coding
++ decode-replay) is ONE jitted program; we report steady-state images/sec
+for encode, plus decode images/sec and the coded latent bits/dim.
 
 vs_baseline: the reference pins compression to CPU and its encode-runtime
 heatmaps span 0-1000 s/image on 32x32 inputs at these settings
@@ -12,9 +21,17 @@ heatmaps span 0-1000 s/image on 32x32 inputs at these settings
 compression_performance.py:16); we use a conservative 100 s/image (0.01
 images/sec) as the reference throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing methodology (round 3, see PERF.md): a data-dependent checksum chain
+across varying inputs, materialized on the host ONCE after the timed loop —
+``jax.block_until_ready`` can return before device completion over the axon
+tunnel, and np.asarray is the one barrier a transport cannot fake.  The
+r02->r03 drop (13.2 -> 12.1 img/s on the same code) was this methodology
+change plus tunnel drift, not a regression — see PERF.md "Measurement note".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -29,23 +46,27 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 0.01  # conservative: 100 s/image on CPU
+DEFAULT_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "checkpoints", "h32")
 
 
-def production(ckpt_dir="checkpoints/h32", dataset="hopper32", n_images=8):
+def _checksum(out):
+    return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out)
+               if jnp.issubdtype(leaf.dtype, jnp.floating))
+
+
+def production(ckpt_dir=DEFAULT_CKPT, dataset="hopper32", n_images=8):
     """Production-configuration bench: trained checkpoint (EMA params),
     fitted aux ratios, auto-grown partition budget, real-photo test images.
 
-    This is the configuration the CLIs actually serve (VERDICT round 2
-    weak #1: the headline's untrained model at a static 24-partition budget
-    under-states the production budget by 4-6x).  Run as
-    ``python bench.py production [ckpt_dir]`` after training
+    Run as ``python bench.py [production [ckpt_dir]]`` after training
     (examples/lossless/train_generative_model.py dataset.dataset=hopper32
     model_save_dir=checkpoints/h32) — falls back to the untrained headline
-    if no checkpoint exists.
+    if no checkpoint exists.  Returns False in that case so main() can
+    dispatch to the untrained bench.
     """
-    import dataclasses
-
     from rec_tpu.coding import BeamSearchCoder
+    from rec_tpu.coding.gauss import GaussianParams
     from rec_tpu.data.datasets import DatasetConfig, load_images, normalize
     from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
                                            ResNetVAEConfig)
@@ -72,23 +93,30 @@ def production(ckpt_dir="checkpoints/h32", dataset="hopper32", n_images=8):
     tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
     ckpt = CheckpointManager(ckpt_dir)
     restored = ckpt.restore(init_state(params, tx, beta=1.0))
-    trained = restored is not None
-    if trained:
-        params = restored.ema_params
+    if restored is None:
+        return False
+    params = restored.ema_params
 
-    # Auto-size the partition budget to the data (max per-block KL over
-    # the bench set), like compression_performance.required_budget.
-    from rec_tpu.coding.gauss import GaussianParams
-
+    # The timed loop encodes image i at rep r with seed 4321+31r+i, and the
+    # model folds per-res-block seeds seed+7919g (resnet_vae.compress:297).
+    # The split permutation — and so the max per-block KL — depends on that
+    # exact seed, so the budget probe must use the SAME seeds the timed
+    # encodes will, not a stand-in (otherwise only the 1.25x headroom
+    # guards against silent partition clamping).
+    reps = 3
+    enc_seeds = [[4321 + 31 * r + i for i in range(len(xs))]
+                 for r in range(reps)]
     fwd = jax.jit(lambda p, x, k: model.apply(p, x, k))
     need = 1
     for i in range(len(xs)):
         out = fwd(params, xs[i:i + 1], jax.random.PRNGKey(100 + i))
         post, prior = out["posterior"], out["prior"]
         for g in range(cfg.num_res_blocks):
-            need = max(need, coder.required_partitions(
-                GaussianParams(post.loc[g], post.scale[g]),
-                GaussianParams(prior.loc[g], prior.scale[g]), 100 + i))
+            pair = (GaussianParams(post.loc[g], post.scale[g]),
+                    GaussianParams(prior.loc[g], prior.scale[g]))
+            for r in range(reps):
+                need = max(need, coder.required_partitions(
+                    *pair, enc_seeds[r][i] + 7919 * g))
     budget = max(coder.max_partitions, -(-int(need * 1.25) // 8) * 8)
     coder = dataclasses.replace(coder, max_partitions=budget)
     model = BidirectionalResNetVAE(cfg=cfg, coder=coder)
@@ -96,38 +124,61 @@ def production(ckpt_dir="checkpoints/h32", dataset="hopper32", n_images=8):
     compress = jax.jit(
         lambda p, img, seed: model.apply(p, img, seed,
                                          method=model.compress))
+    H, W = int(xs.shape[1]), int(xs.shape[2])
+    decompress = jax.jit(
+        lambda p, ind, cnt, seed: model.apply(p, (H, W), ind, cnt, seed,
+                                              method=model.decompress))
 
-    def checksum(out):
-        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out)
-                   if jnp.issubdtype(leaf.dtype, jnp.floating))
+    warm = compress(params, xs[:1], enc_seeds[0][0])
+    np.asarray(_checksum(warm))  # compile + settle
+    np.asarray(_checksum(decompress(params, warm["indices"],
+                                    warm["counts"], enc_seeds[0][0])))
 
-    np.asarray(checksum(compress(params, xs[:1], 1234)))  # compile + settle
-
-    reps, acc, bits = 3, 0.0, 0.0
+    # --- timed encode: checksum chain, ONE host materialization at the end;
+    # coded-bit counts accumulate on device and are fetched after the timer.
+    acc, bits_dev = 0.0, jnp.zeros((), jnp.float32)
+    outs0 = []  # rep-0 coded latents, for the decode bench below
     t0 = time.time()
     for r in range(reps):
         for i in range(len(xs)):
-            out = compress(params, xs[i:i + 1], 4321 + 31 * r + i)
-            acc = acc + checksum(out)
+            out = compress(params, xs[i:i + 1], enc_seeds[r][i])
+            acc = acc + _checksum(out)
             if r == 0:
-                bits += float(jnp.sum(out["counts"])) * np.log2(
-                    coder.n_samples)
+                bits_dev = bits_dev + jnp.sum(out["counts"]).astype(
+                    jnp.float32)
+                outs0.append((out["indices"], out["counts"]))
     np.asarray(acc)
     dt = (time.time() - t0) / (reps * len(xs))
+    bits = float(np.asarray(bits_dev)) * np.log2(coder.n_samples)
     bpd = bits / (len(xs) * float(np.prod(xs.shape[1:])))
+
+    # --- timed decode: replay every rep-0 image from its indices.
+    acc = 0.0
+    t0 = time.time()
+    for r in range(reps):
+        for i, (ind, cnt) in enumerate(outs0):
+            acc = acc + jnp.sum(decompress(params, ind, cnt,
+                                           enc_seeds[0][i]))
+    np.asarray(acc)
+    dt_dec = (time.time() - t0) / (reps * len(outs0))
 
     print(json.dumps({
         "metric": "RVAE-24 single-image REC encode throughput, trained "
-                  f"ckpt={trained}, auto budget={budget} partitions, "
-                  f"{dataset}{' (SYNTHETIC)' if synthetic else ''}, 1 chip",
+                  f"60k-iter ckpt, fitted ratios, auto budget={budget} "
+                  f"partitions, {dataset}"
+                  f"{' (SYNTHETIC)' if synthetic else ''}, 1 chip",
         "value": round(1.0 / dt, 3),
         "unit": "images/sec",
         "vs_baseline": round(1.0 / dt / REFERENCE_IMAGES_PER_SEC, 1),
+        "decode_images_per_sec": round(1.0 / dt_dec, 3),
         "latent_bits_per_dim": round(bpd, 3),
     }))
+    return True
 
 
-def main():
+def untrained():
+    """Fallback headline (rounds 1-3): untrained model, static 24-partition
+    budget, synthetic input."""
     from rec_tpu.coding import BeamSearchCoder
     from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
                                            ResNetVAEConfig)
@@ -146,38 +197,37 @@ def main():
     compress = jax.jit(
         lambda p, img, seed: model.apply(p, img, seed,
                                          method=model.compress))
-    # Timing is a data-dependent checksum chain materialized ONCE at the
-    # end: np.asarray is the only reliable full-execution barrier over the
-    # axon tunnel (block_until_ready can return before device completion
-    # there), and chaining the outputs stops any caching/elision of
-    # repeated dispatches while still allowing dispatch pipelining.
-    def checksum(out):
-        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out)
-                   if jnp.issubdtype(leaf.dtype, jnp.floating))
-
-    np.asarray(checksum(compress(params, x, 1234)))  # compile + settle
+    np.asarray(_checksum(compress(params, x, 1234)))  # compile + settle
 
     n = 10
     t0 = time.time()
     acc = 0.0
     for i in range(n):
-        acc = acc + checksum(compress(params, x, 1234 + i))
+        acc = acc + _checksum(compress(params, x, 1234 + i))
     np.asarray(acc)
     dt = (time.time() - t0) / n
 
     value = 1.0 / dt
     print(json.dumps({
         "metric": "RVAE-24 single-image REC encode throughput (32x32, "
-                  "B=20, eps=0.2, Omega=3), 1 chip",
+                  "B=20, eps=0.2, Omega=3), UNTRAINED fallback, 1 chip",
         "value": round(value, 3),
         "unit": "images/sec",
         "vs_baseline": round(value / REFERENCE_IMAGES_PER_SEC, 1),
     }))
 
 
+def main():
+    if not production():
+        untrained()
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "production":
+    if len(sys.argv) > 1 and sys.argv[1] == "untrained":
+        untrained()
+    elif len(sys.argv) > 1 and sys.argv[1] == "production":
         args = sys.argv[2:]
-        production(*args[:2], *(int(a) for a in args[2:3]))
+        if not production(*args[:2], *(int(a) for a in args[2:3])):
+            print(json.dumps({"error": "no checkpoint found"}))
     else:
         main()

@@ -116,15 +116,33 @@ def build_coder(cfg: Config):
     raise ValueError(cfg.sampler)
 
 
-def load_params(cfg: Config, model, example):
+def load_params(cfg: Config, model, example, mesh):
+    """Initialize-or-restore params, placed for BOTH serving programs.
+
+    Returns ``(params_global, params_local, restored)``:
+      * ``params_global`` is committed replicated over the (possibly
+        multi-process) mesh — the only valid placement for inputs to the
+        globally-sharded batch compress.  ``CheckpointManager.restore``
+        commits to the default LOCAL device, which is not a legal input to
+        a global-mesh jit in multi-process serving, so we round-trip
+        through the host and re-place explicitly.
+      * ``params_local`` is committed to this process's default device for
+        the per-image decode/verify programs, which are host-local.
+    """
     params = model.init(jax.random.PRNGKey(cfg.seed), example,
                         jax.random.PRNGKey(cfg.seed + 1))
     tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
     state = init_state(params, tx, beta=1.0)
     restored = CheckpointManager(cfg.model_save_dir).restore(state)
-    if restored is None:
-        return params, False
-    return (restored.ema_params if cfg.use_ema else restored.params), True
+    ok = restored is not None
+    if ok:
+        params = restored.ema_params if cfg.use_ema else restored.params
+    host = jax.device_get(params)
+    from rec_tpu.parallel.mesh import replicated_sharding
+
+    params_global = jax.device_put(host, replicated_sharding(mesh))
+    params_local = jax.device_put(host)
+    return params_global, params_local, ok
 
 
 def global_batch_array(np_array, mesh):
@@ -178,9 +196,11 @@ def main(argv):
     images = np.asarray(pad_to_multiple(images, cfg.pad_multiple))
     H, W = images.shape[1:3]
 
-    params, restored = load_params(cfg, model, images[:1])
+    params, params_local, restored = load_params(cfg, model, images[:1],
+                                                 mesh)
     log.info(f"params restored from checkpoint: {restored}")
-    scale = float(jnp.exp(params["params"]["likelihood_log_scale"]))
+    scale = float(jnp.exp(
+        params_local["params"]["likelihood_log_scale"]))
 
     compress = make_batch_compress(model)
     # Per-image decode for verification: local-device program, replays any
@@ -232,7 +252,7 @@ def main(argv):
                 from rec_tpu.io.residual import encode_residual
 
                 canon = np.asarray(decompress_one(
-                    params, jnp.asarray(ind), jnp.asarray(counts),
+                    params_local, jnp.asarray(ind), jnp.asarray(counts),
                     int(seeds[j])))[0]
                 residual, _ = encode_residual(chunk[j] + 0.5, canon, scale)
             path = os.path.join(cfg.output_dir, f"img_{i}.rec")
@@ -243,7 +263,7 @@ def main(argv):
             my_images += 1
 
             if cfg.verify:
-                _verify_file(cfg, path, params, decompress_one,
+                _verify_file(cfg, path, params_local, decompress_one,
                              (ind, counts), chunk[j], rec_rows[j], scale)
         first_batch = False
 

@@ -89,6 +89,15 @@ def main(argv):
     np.savez_compressed(
         os.path.join(data_dir, "hopper256_train.npz"),
         images=big256[rs.permutation(len(big256))].astype(np.uint8))
+    # hopper256 test split: the two bottom 256x256 crops.  Without this
+    # file a split="test" consumer silently fell back to SYNTHETIC data.
+    # Only the bottom 96 rows are strictly held out from training (the
+    # photo is one image); the canonical held-out big-image eval is
+    # hopper512 (the full photo) — this split exists so hopper256 eval
+    # runs are at least real-photo, never synthetic.
+    test256 = np.stack([img[-256:, :256], img[-256:, 256:]])
+    np.savez_compressed(os.path.join(data_dir, "hopper256_test.npz"),
+                        images=test256.astype(np.uint8))
     print(f"hopper32: train {train.shape}, test {test.shape} "
           f"(spatial split, bottom {test_rows} rows held out)")
     print(f"hopper512: 1 full {img.shape} photo + {big.shape} train "

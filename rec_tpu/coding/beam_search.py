@@ -103,6 +103,18 @@ class BeamCodedBlock(NamedTuple):
 def _use_fused(cfg: BeamSearchConfig) -> bool:
     if not cfg.use_fused_kernel or cfg.stream not in ("fmix", "threefry"):
         return False
+    if cfg.n_beams > 128 or cfg.n_samples > 128:
+        # The kernel's selection tile is (S_pad, 128) with one column per
+        # beam; oversize configs (Omega*(1+eps) > ~4.85 -> S > 128, or
+        # B > 128) fall back to the scan path rather than failing —
+        # streams are identical on both paths, so files stay compatible.
+        import warnings
+
+        warnings.warn(
+            f"mega-kernel supports n_beams<=128 and n_samples<=128 "
+            f"(got B={cfg.n_beams}, S={cfg.n_samples}); using the XLA "
+            f"scan encode path", stacklevel=3)
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover

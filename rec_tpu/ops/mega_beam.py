@@ -111,7 +111,7 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
             counts_ref, bkeys_ref, qa_ref, qb_ref, ascale_ref,
             out_ref,
             beams_ref, beams_tmp, hist_ref, hist_tmp, scores_ref,
-            cand_col, hashes_ref, hashes_tmp, parent_ref, cand_ref):
+            hashes_ref, hashes_tmp, parent_ref, cand_ref):
     from jax.experimental import pallas as pl
 
     nb = pl.program_id(0)
@@ -178,6 +178,7 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
         # --- carry update: regenerate the B winning rows (row addressing)
         # and parent-gather beams/history/hashes through tmp buffers ------
         d_row = jax.lax.broadcasted_iota(jnp.uint32, (1, D_pad), 1)
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (1, P_pad), 1)
         for k in range(B):
             p = parent_ref[k]
             c = cand_ref[k]
@@ -186,14 +187,17 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
             eps_row = _normal(_bits(stream, bk1, bk2, ctr_row))  # (1, D_pad)
             beams_tmp[k:k + 1, :] = (
                 beams_ref[pl.ds(p, 1), :] + ascale * eps_row)
-            hist_tmp[k:k + 1, :] = hist_ref[pl.ds(p, 1), :]
-            cand_col[k:k + 1, :] = jnp.full((1, 128), c, jnp.int32)
+            # Write this beam's updated history row directly: parent's
+            # history with the winning candidate at column t.  (An earlier
+            # (B, 128) staging buffer broke at P_pad > 128, i.e. budgets
+            # past 128 partitions — the big-image regime.)
+            hist_tmp[k:k + 1, :] = jnp.where(
+                p_iota == t, jnp.full((1, P_pad), c, jnp.int32),
+                hist_ref[pl.ds(p, 1), :])
             hashes_tmp[k] = (hashes_ref[p] ^ jnp.asarray(c, jnp.uint32)) \
                 * rng.FNV_PRIME
         beams_ref[:] = beams_tmp[:]
-        pcol = jax.lax.broadcasted_iota(jnp.int32, (B, P_pad), 1)
-        hist_ref[:] = jnp.where(pcol == t, cand_col[:, :P_pad],
-                                hist_tmp[:])
+        hist_ref[:] = hist_tmp[:]
         for k in range(B):
             hashes_ref[k] = hashes_tmp[k]
 
@@ -219,7 +223,11 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
     N, D = targets.loc.shape
     P = max_partitions
     B, S = n_beams, n_samples
-    assert B <= 128 and S <= 128, "kernel selection tile is (S, 128)"
+    if B > 128 or S > 128:
+        raise ValueError(
+            f"mega-kernel selection tile is (S, 128): needs n_beams<=128 "
+            f"and n_samples<=128, got B={B}, S={S} — use the scan path "
+            f"(beam_search.encode_blocks falls back automatically)")
     D_pad = -(-D // 128) * 128
     S_pad = -(-S // 8) * 8
     P_pad = -(-P // 128) * 128
@@ -297,7 +305,6 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
             pltpu.VMEM((B, P_pad), jnp.int32),       # hist
             pltpu.VMEM((B, P_pad), jnp.int32),       # hist_tmp
             pltpu.VMEM((S_pad, 128), jnp.float32),   # scores
-            pltpu.VMEM((B, 128), jnp.int32),         # cand column staging
             pltpu.SMEM((B,), jnp.uint32),            # hashes
             pltpu.SMEM((B,), jnp.uint32),            # hashes_tmp
             pltpu.SMEM((B,), jnp.int32),             # parents

@@ -21,12 +21,20 @@ def device_fence(tree) -> None:
     remote-device transports (observed on the axon tunnel: a 25 ms encode
     "completed" in 60 us), silently turning wall-clock timers into
     dispatch-rate measurements.  Materializing bytes on the host is the
-    one barrier a transport cannot fake, so this fetches a single element
-    of every array leaf.
+    one barrier a transport cannot fake.  One element of every device
+    leaf is summed into a single scalar ON DEVICE (async dispatches) and
+    that scalar is fetched with ONE blocking transfer — fencing a
+    many-leaf tree costs one host round trip, not one per leaf.
     """
+    import jax.numpy as jnp
+
+    acc = None
     for leaf in jax.tree.leaves(tree):
-        if hasattr(leaf, "dtype") and hasattr(leaf, "ndim"):
-            np.asarray(leaf if leaf.ndim == 0 else leaf.ravel()[:1])
+        if isinstance(leaf, jax.Array):
+            v = jnp.reshape(leaf, (-1,))[:1].astype(jnp.float32)
+            acc = v if acc is None else acc + v
+    if acc is not None:
+        np.asarray(acc)
 
 
 class PhaseTimer:

@@ -34,24 +34,28 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_serve(tmp_path):
+@pytest.mark.parametrize("n_proc", [2, 4])
+def test_multi_process_serve(tmp_path, n_proc):
     port = _free_port()
     # model_save_dir points at an empty dir so both serve and the decode
     # check below build identical fresh-initialized params.
     args = TINY + [f"output_dir={tmp_path}",
                    f"model_save_dir={tmp_path}/ckpt",
-                   f"coordinator=localhost:{port}", "num_processes=2"]
+                   f"coordinator=localhost:{port}",
+                   f"num_processes={n_proc}"]
+    dev_per_proc = 2 if n_proc == 2 else 1
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+               XLA_FLAGS="--xla_force_host_platform_device_count="
+                         f"{dev_per_proc}")
     procs = [subprocess.Popen(
         [sys.executable, SERVE] + args + [f"process_id={i}"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env, cwd=REPO) for i in range(2)]
+        env=env, cwd=REPO) for i in range(n_proc)]
     outs = [p.communicate(timeout=420)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
 
-    # All 6 images written exactly once across the two hosts.
+    # All 6 images written exactly once across the hosts.
     recs = sorted(f for f in os.listdir(tmp_path) if f.endswith(".rec"))
     assert recs == [f"img_{i}.rec" for i in range(6)], recs
     # Each process wrote a nonempty, non-overlapping share.

@@ -129,6 +129,107 @@ class TestMegaBeam:
         np.testing.assert_array_equal(np.asarray(ref2.indices),
                                       np.asarray(ind2))
 
+    def test_interpret_large_budget_past_128(self):
+        """Budgets past 128 partitions (P_pad > 128) — the big-image
+        regime (hopper512 probes ~1000+ partitions).  A (B, 128) staging
+        buffer in the carry update used to break exactly here."""
+        from rec_tpu.coding import rng as crng
+        from rec_tpu.coding.beam_search import (BeamSearchConfig,
+                                                encode_blocks)
+        from rec_tpu.ops.mega_beam import mega_encode_blocks
+
+        from rec_tpu.coding.beam_search import decode_blocks
+
+        # Needle: KL ~ 470 nats over 24 dims -> needs ~156 partitions,
+        # crossing the 128 tile boundary.
+        t = GaussianParams(jnp.full((1, 24), 5.1), jnp.full((1, 24), 1e-3))
+        c = GaussianParams(jnp.zeros((1, 24)), jnp.ones((1, 24)))
+        cfg = BeamSearchConfig(kl_per_partition=3.0, n_beams=3,
+                               extra_samples=1.0, max_partitions=160)
+        bk = jax.vmap(lambda b: crng.block_key(crng.root_key(5), b))(
+            jnp.arange(1))
+        ref = encode_blocks(cfg, t, c, bk)
+        ind, cnt = mega_encode_blocks(
+            t, c, bk, kl_per_partition=3.0, n_beams=3,
+            n_samples=cfg.n_samples, max_partitions=160, stream="fmix",
+            interpret=True)
+        assert int(np.asarray(cnt)[0]) > 128  # past the 128 tile boundary
+        np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(cnt))
+        # Exact index parity is NOT asserted here: past ~30 partitions the
+        # aux variances are tiny and candidate scores near-tie, and even
+        # the scan path's own selections flip with the host thread/device
+        # config (jnp.sum reduction order).  The contract is: both index
+        # streams decode (selection-only kernel) and the kernel's decode
+        # quality matches the scan path's.
+        def quality(indices, counts):
+            x = np.asarray(decode_blocks(cfg, c, indices, counts, bk))[0]
+            lq = -0.5 * np.sum((x - 5.1) ** 2 / 1e-6)
+            return lq + 0.5 * np.sum(x ** 2)
+
+        q_ref, q_mega = quality(ref.indices, ref.count), quality(ind, cnt)
+        assert q_mega >= q_ref - 0.05 * abs(q_ref), (q_ref, q_mega)
+
+    def test_interpret_s122_omega4(self):
+        """Ω=4, ε=0.2 -> S = floor(e^4.8) = 121: near the kernel's S=128
+        tile edge (VERDICT r3 weak #5)."""
+        from rec_tpu.coding import rng as crng
+        from rec_tpu.coding.beam_search import (BeamSearchConfig,
+                                                encode_blocks)
+        from rec_tpu.ops.mega_beam import mega_encode_blocks
+
+        rs = np.random.RandomState(21)
+        t = GaussianParams(jnp.asarray(rs.randn(1, 32) * 0.5, jnp.float32),
+                           jnp.asarray(np.exp(rs.randn(1, 32) * 0.1),
+                                       jnp.float32))
+        c = GaussianParams(jnp.zeros((1, 32)), jnp.ones((1, 32)))
+        cfg = BeamSearchConfig(kl_per_partition=4.0, n_beams=4,
+                               extra_samples=1.2, max_partitions=4)
+        assert cfg.n_samples == 121
+        bk = jax.vmap(lambda b: crng.block_key(crng.root_key(13), b))(
+            jnp.arange(1))
+        ref = encode_blocks(cfg, t, c, bk)
+        ind, cnt = mega_encode_blocks(
+            t, c, bk, kl_per_partition=4.0, n_beams=4,
+            n_samples=121, max_partitions=4, stream="fmix", interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(cnt))
+        np.testing.assert_array_equal(np.asarray(ref.indices),
+                                      np.asarray(ind))
+
+    def test_oversize_config_falls_back_with_warning(self):
+        """S > 128 (e.g. Ω=3, ε=0.7 -> S=164) must NOT assert: the coder
+        falls back to the scan path with a warning, and the kernel entry
+        raises a clear ValueError if called directly."""
+        import warnings
+
+        from rec_tpu.coding import rng as crng
+        from rec_tpu.coding.beam_search import (BeamSearchConfig, _use_fused,
+                                                encode_blocks)
+        from rec_tpu.ops.mega_beam import mega_encode_blocks
+
+        cfg = BeamSearchConfig(kl_per_partition=3.0, n_beams=4,
+                               extra_samples=1.7, max_partitions=4,
+                               use_fused_kernel=True)
+        assert cfg.n_samples > 128
+        with pytest.warns(UserWarning, match="mega-kernel supports"):
+            assert _use_fused(cfg) is False
+
+        # encode_blocks still works (scan path).
+        rs = np.random.RandomState(2)
+        t = GaussianParams(jnp.asarray(rs.randn(1, 16) * 0.3, jnp.float32),
+                           jnp.ones((1, 16)))
+        c = GaussianParams(jnp.zeros((1, 16)), jnp.ones((1, 16)))
+        bk = jax.vmap(lambda b: crng.block_key(crng.root_key(1), b))(
+            jnp.arange(1))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = encode_blocks(cfg, t, c, bk)
+        assert int(np.asarray(out.count)[0]) >= 1
+
+        with pytest.raises(ValueError, match="selection tile"):
+            mega_encode_blocks(t, c, bk, kl_per_partition=3.0, n_beams=4,
+                               n_samples=cfg.n_samples, max_partitions=4,
+                               stream="fmix", interpret=True)
+
     def test_interpret_vmap_matches_unbatched(self):
         """Batched serving vmaps model.compress over images, which vmaps
         the pallas_call (a leading grid dim); per-image results must equal
