@@ -176,6 +176,118 @@ def production(ckpt_dir=DEFAULT_CKPT, dataset="hopper32", n_images=8):
     return True
 
 
+def table(ckpt_dir=DEFAULT_CKPT, dataset="hopper32"):
+    """One coherent throughput table at ONE configuration: the trained h32
+    checkpoint, fitted ratios, auto budget (the same config ``production``
+    benches).  Rows: single-image encode (kernel on/off), batched encode
+    (8/32 images, per-beam and shared-pool), decode.  Replaces the
+    scattered round-2 numbers (measured pre-device-fix on a different
+    model) that made PERF.md's throughput story incoherent.
+
+    Prints one JSON object (not the driver line) and appends it to
+    results/throughput_table.json.
+    """
+    import dataclasses
+
+    from rec_tpu.coding import BeamSearchCoder
+    from rec_tpu.coding.gauss import GaussianParams
+    from rec_tpu.data.datasets import DatasetConfig, load_images, normalize
+    from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
+                                           ResNetVAEConfig)
+    from rec_tpu.parallel import make_batch_compress
+    from rec_tpu.train import (CheckpointManager, init_state, make_optimizer,
+                               staircase_schedule)
+
+    cfg = ResNetVAEConfig(num_res_blocks=24, deterministic_filters=160,
+                          stochastic_filters=32)
+    base = BeamSearchCoder(kl_per_partition=3.0, n_beams=20,
+                           extra_samples=1.2, block_size=1000,
+                           max_partitions=24)
+    ratio_path = os.path.join(ckpt_dir, "coder_ratios_3.0.npy")
+    if os.path.exists(ratio_path):
+        base = dataclasses.replace(
+            base, aux_variance_ratios=tuple(np.load(ratio_path).tolist()))
+
+    images, _ = load_images(DatasetConfig(dataset=dataset, split="test"))
+    images = normalize(images, "centered")[:32]
+    xs = jnp.asarray(images)
+
+    model = BidirectionalResNetVAE(cfg=cfg, coder=base)
+    params = model.init(jax.random.PRNGKey(0), xs[:1], jax.random.PRNGKey(1))
+    tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
+    restored = CheckpointManager(ckpt_dir).restore(
+        init_state(params, tx, beta=1.0))
+    assert restored is not None, "table mode needs the trained checkpoint"
+    params = restored.ema_params
+
+    # One budget for every row (probe like production, over all 32 images).
+    fwd = jax.jit(lambda p, x, k: model.apply(p, x, k))
+    need = 1
+    for i in range(len(xs)):
+        out = fwd(params, xs[i:i + 1], jax.random.PRNGKey(100 + i))
+        post, prior = out["posterior"], out["prior"]
+        for g in range(cfg.num_res_blocks):
+            need = max(need, base.required_partitions(
+                GaussianParams(post.loc[g], post.scale[g]),
+                GaussianParams(prior.loc[g], prior.scale[g]),
+                4321 + i + 7919 * g))
+    budget = max(base.max_partitions, -(-int(need * 1.25) // 8) * 8)
+
+    rows = {}
+
+    def timed(fn, inputs, n_images, reps=3, warm=None):
+        np.asarray(_checksum(fn(*inputs[0])))
+        acc = 0.0
+        t0 = time.time()
+        for r in range(reps):
+            for inp in inputs:
+                acc = acc + _checksum(fn(*inp))
+        np.asarray(acc)
+        return (reps * len(inputs) * n_images) / (time.time() - t0)
+
+    for kernel in (True, False):
+        coder = dataclasses.replace(base, max_partitions=budget,
+                                    use_fused_kernel=kernel)
+        m = BidirectionalResNetVAE(cfg=cfg, coder=coder)
+        comp = jax.jit(lambda p, img, s, m=m: m.apply(p, img, s,
+                                                      method=m.compress))
+        ips = timed(comp, [(params, xs[i:i + 1], 4321 + i)
+                           for i in range(8)], 1)
+        rows[f"single_image_kernel_{'on' if kernel else 'off'}"] = round(
+            ips, 2)
+
+    for pool in (False, True):
+        for B in (8, 32):
+            coder = dataclasses.replace(base, max_partitions=budget,
+                                        shared_pool=pool)
+            m = BidirectionalResNetVAE(cfg=cfg, coder=coder)
+            comp = make_batch_compress(m)
+            seeds = jnp.asarray(4321 + 31 * np.arange(B))
+            ips = timed(comp, [(params, xs[:B], seeds)], B)
+            rows[f"batched_{B}_{'shared_pool' if pool else 'per_beam'}"] = \
+                round(ips, 2)
+
+    coder = dataclasses.replace(base, max_partitions=budget)
+    m = BidirectionalResNetVAE(cfg=cfg, coder=coder)
+    comp = jax.jit(lambda p, img, s: m.apply(p, img, s, method=m.compress))
+    H, W = int(xs.shape[1]), int(xs.shape[2])
+    dec = jax.jit(lambda p, i, c, s: m.apply(p, (H, W), i, c, s,
+                                             method=m.decompress))
+    outs = [comp(params, xs[i:i + 1], 4321 + i) for i in range(8)]
+    rows["decode_single_image"] = round(timed(
+        dec, [(params, o["indices"], o["counts"], 4321 + i)
+              for i, o in enumerate(outs)], 1), 2)
+
+    result = {"config": f"trained {ckpt_dir}, fitted ratios, "
+                        f"budget={budget}, B=20, eps=0.2, Omega=3, "
+                        f"{dataset}, 1 chip, images/sec",
+              "rows": rows}
+    print(json.dumps(result, indent=2))
+    os.makedirs("results", exist_ok=True)
+    with open("results/throughput_table.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
 def untrained():
     """Fallback headline (rounds 1-3): untrained model, static 24-partition
     budget, synthetic input."""

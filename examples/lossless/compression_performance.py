@@ -303,8 +303,19 @@ def grow_budget(cfg: Config, log, coder, need: int):
 
 def main(argv):
     cfg = apply_overrides(Config(), argv)
-    print_config(cfg)
     log = setup_logger("compression_performance")
+    # The checkpoint's recorded training config wins over CLI defaults —
+    # a structure-identical mismatch (e.g. laplace-trained params read as
+    # discretized_logistic) restores silently and poisons every metric.
+    from rec_tpu.train import reconcile_model_config
+
+    if cfg.model == "large_resnet_vae":
+        cfg = dataclasses.replace(cfg, large_cfg=reconcile_model_config(
+            cfg.model_save_dir, "large_resnet_vae", cfg.large_cfg, log))
+    else:
+        cfg = dataclasses.replace(cfg, model_cfg=reconcile_model_config(
+            cfg.model_save_dir, "resnet_vae", cfg.model_cfg, log))
+    print_config(cfg)
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     if cfg.mode == "initialize":

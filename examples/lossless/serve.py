@@ -179,6 +179,11 @@ def main(argv):
     log = setup_logger(f"serve[{pid}]")
     os.makedirs(cfg.output_dir, exist_ok=True)
 
+    from rec_tpu.train import reconcile_model_config
+
+    cfg = dataclasses.replace(cfg, model_cfg=reconcile_model_config(
+        cfg.model_save_dir, "resnet_vae", cfg.model_cfg, log))
+
     mesh = make_mesh(cfg.n_devices or None)
     n_dev = mesh.devices.size
     # Pad the global batch to a device multiple so the shard is even.

@@ -62,6 +62,7 @@ class Config:
     latent_size: int = 50            # model=vae (ref :56)
     optimizer: str = "adamax"
     learning_rate: float = 1e-3
+    grad_clip_norm: float = 0.0   # 0 = off; global-norm clip before adam
     drop_learning_rate_after_iter: int = 200_000
     learning_rate_drop_rate: float = 0.316
     iters: int = 500_000
@@ -141,10 +142,21 @@ def main(argv):
     tx = make_optimizer(cfg.optimizer,
                         staircase_schedule(cfg.learning_rate,
                                            cfg.drop_learning_rate_after_iter,
-                                           cfg.learning_rate_drop_rate))
+                                           cfg.learning_rate_drop_rate),
+                        clip_norm=cfg.grad_clip_norm)
     state = init_state(params, tx, beta=cfg.beta)
 
     ckpt = CheckpointManager(cfg.model_save_dir)
+    # Record the trained architecture next to the checkpoints so eval CLIs
+    # can detect/correct a model-config mismatch (structure-identical
+    # configs restore silently and poison every metric).
+    from rec_tpu.train import save_model_config
+
+    if cfg.model == "large_resnet_vae":
+        save_model_config(cfg.model_save_dir, "large_resnet_vae",
+                          cfg.large_cfg)
+    elif cfg.model == "resnet_vae":
+        save_model_config(cfg.model_save_dir, "resnet_vae", cfg.model_cfg)
     restored = ckpt.restore(state)
     if restored is not None:
         state = restored

@@ -68,8 +68,24 @@ class Config:
 
 def main(argv):
     cfg = apply_overrides(Config(), argv)
-    print_config(cfg)
     log = setup_logger("compress_lossy")
+    # Correct filter counts to the trained checkpoint's recorded config
+    # (mismatched-but-structural configs restore silently).
+    from rec_tpu.train import load_model_config
+
+    saved = load_model_config(cfg.model_save_dir)
+    if saved is not None:
+        if saved.get("kind") != cfg.model:
+            log.warning(f"checkpoint {cfg.model_save_dir} was trained as "
+                        f"{saved.get('kind')}, not {cfg.model} — "
+                        f"overriding model")
+            cfg = dataclasses.replace(cfg, model=saved["kind"])
+        filt = {k: v for k, v in saved["cfg"].items()
+                if k.endswith("_filters") and getattr(cfg, k, v) != v}
+        if filt:
+            log.warning(f"overriding filters to match checkpoint: {filt}")
+            cfg = dataclasses.replace(cfg, **filt)
+    print_config(cfg)
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     if cfg.sampler == "beam_search":

@@ -91,6 +91,14 @@ def main(argv):
                         staircase_schedule(cfg.learning_rate, cfg.iters, 1.0))
     state = init_state(params, tx, beta=cfg.beta)
     ckpt = CheckpointManager(cfg.model_save_dir)
+    from rec_tpu.train import save_model_config
+
+    save_model_config(cfg.model_save_dir, cfg.model, {
+        "level_1_filters": cfg.level_1_filters,
+        "level_2_filters": cfg.level_2_filters,
+        "level_3_filters": cfg.level_3_filters,
+        "level_4_filters": cfg.level_4_filters,
+        "loss_fn": cfg.loss_fn, "beta": cfg.beta})
     restored = ckpt.restore(state)
     if restored is not None:
         state = restored

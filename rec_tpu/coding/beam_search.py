@@ -397,8 +397,21 @@ def _replay_flat(cfg: BeamSearchConfig, coders: GaussianParams,
     eps = pin(jax.vmap(jax.vmap(
         lambda k, i: rng.normal_stream_row(k, i, S, D, stream=cfg.stream)
     ))(keys, indices))                                   # (N, P, D)
-    acc = pin(jnp.einsum("np,npd->nd", sqrt_w, eps))
-    return pin(coders.scale * acc) + coders.loc
+    # Fixed-order contraction over the partition axis.  An einsum here is
+    # 1 ulp non-deterministic ACROSS PROGRAMS at some shapes (XLA picks a
+    # different reduction/FMA strategy for the encode program than for the
+    # standalone decoder; observed at N=2, D=64 on TPU), which breaks the
+    # encode().sample == decode(indices) contract.  A scan with each
+    # multiply and add pinned separately has exactly one evaluation order.
+    def _step(acc, we):
+        w_t, e_t = we
+        return pin(acc + pin(w_t[:, None] * e_t)), None
+
+    acc0 = jnp.zeros((N, D), eps.dtype)
+    acc, _ = jax.lax.scan(_step, acc0,
+                          (jnp.moveaxis(sqrt_w, 1, 0),
+                           jnp.moveaxis(eps, 1, 0)))
+    return pin(coders.scale * pin(acc)) + coders.loc
 
 
 def decode_block(cfg: BeamSearchConfig, coder: GaussianParams,

@@ -76,14 +76,22 @@ def partition_schedule(count, max_partitions: int,
     same residual the reference's recurrence does.  ``max(1-r, 0)`` mirrors
     the recurrence's ``max(p_var - cum, 0)`` clamp for pathological r > 1.
     """
+    from .utils import pin
+
     t = jnp.arange(max_partitions)
     i = jnp.maximum(count - 1 - t, 0)  # clamp dead lanes away from (0)**-p
-    r = aux_variance_ratio(i, ratios)
-    r = jnp.where(t < count, r, 0.0)
+    # Every float stage is pinned (optimization_barrier): the schedule
+    # feeds BOTH the replay chain (whose bit-exactness across programs is
+    # the decode contract) and, on the fused path, the mega-kernel's
+    # qa/qb/ascale precompute — without barriers XLA CSEs and fuses the
+    # shared computation differently per program, and a 1-ulp drift in w
+    # breaks encode().sample == decode(indices) (seen at Omega=4, S=121).
+    r = pin(aux_variance_ratio(i, ratios))
+    r = pin(jnp.where(t < count, r, 0.0))
     one_minus = jnp.maximum(1.0 - r, 0.0)
-    cp = jnp.cumprod(one_minus)                     # prod_{u<=t}
+    cp = pin(jnp.cumprod(one_minus))                # prod_{u<=t}
     prod_before = jnp.concatenate([jnp.ones((1,), cp.dtype), cp[:-1]])
-    w = r * prod_before
+    w = pin(r * prod_before)
     c_after = 1.0 - cp
     return w, c_after
 

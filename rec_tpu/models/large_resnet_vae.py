@@ -30,7 +30,8 @@ from ..coding.gauss import GaussianParams, kl_divergence
 from ..utils.logging import gaussian_blur
 from ..utils.metrics import ms_ssim
 from .modules import (GDN, ReparameterizedConv2D,
-                      ReparameterizedConv2DTranspose, SignalConv2D)
+                      ReparameterizedConv2DTranspose, SignalConv2D,
+                      lower_bound)
 from .resnet_vae import GenBlock, InferBlock, ResNetVAEConfig
 
 
@@ -45,6 +46,7 @@ class LargeResNetVAEConfig:
     use_sig_convs: bool = True
     likelihood: str = "discretized_logistic"
     # discretized_logistic | gaussian | laplace | ms-ssim | ms-ssim-laplace
+    likelihood_log_scale_init: float = 0.0
 
 
 class _DownStack(nn.Module):
@@ -151,22 +153,40 @@ class LargeResNetVAE(nn.Module):
         self.generative_base = self.param(
             "generative_base", nn.initializers.normal(0.1),
             (c.second_deterministic_filters,))
+        # Init matters: Adam moves a scalar ~lr per step, so starting the
+        # log-scale ~3.5 nats from its optimum costs >10k steps of a
+        # near-flat likelihood before the model sees any reconstruction
+        # gradient (log_scale 0 = scale 1.0 = flat over [-0.5, 0.5] for
+        # discretized_logistic).
         self.likelihood_log_scale = self.param(
-            "likelihood_log_scale", nn.initializers.zeros, ())
+            "likelihood_log_scale",
+            nn.initializers.constant(c.likelihood_log_scale_init), ())
 
     # -- likelihood (large-model family, ref :396-433) --------------------
 
     def _log_likelihood(self, reference, reconstruction):
         c = self.cfg
-        scale = jnp.exp(self.likelihood_log_scale)
+        # Floor at half a quantization bin: a logistic sharper than the
+        # 1/256 bin makes every off-by-one-bin residual's probability
+        # underflow (log(1e-7) walls with zero gradient, NaN at the edge).
+        scale = lower_bound(jnp.exp(self.likelihood_log_scale),
+                            1.0 / 512.0)
         num_dims = float(reference.shape[1] * reference.shape[2]
                          * reference.shape[3])
 
         def laplace(blur=False):
+            # TRUE Laplace log-density over 255-scaled pixels, b = scale:
+            # sum -|255 dx|/b - log(2b).  The normalizer term is load-
+            # bearing: without it the objective is monotonically decreasing
+            # in the learned scale, so training pushes log_scale to +inf,
+            # the reconstruction term vanishes, and the model silently
+            # collapses (observed: log_scale 4.19 after 23k iters, PSNR
+            # stuck at ~27 dB).
             lp = jnp.abs(reconstruction - reference) / scale
             if blur:
                 lp = gaussian_blur(lp, kernel_size=11, sigma=8.0)
-            return -jnp.sum(lp, axis=(1, 2, 3)) * 255.0
+            return (-jnp.sum(lp, axis=(1, 2, 3)) * 255.0
+                    - num_dims * jnp.log(2.0 * scale))
 
         def msssim_ll():
             v = ms_ssim(reference + 0.5, reconstruction + 0.5, max_val=1.0,
@@ -179,8 +199,12 @@ class LargeResNetVAE(nn.Module):
             recon = jnp.clip(reconstruction, -0.5 + 1 / 512., 0.5 - 1 / 512.)
             return discretized_logistic(reference, recon, scale)
         if c.likelihood == "gaussian":
-            return -jnp.sum(jnp.square(reference - reconstruction) / scale,
-                            axis=(1, 2, 3)) * 255.0 ** 2
+            # TRUE Gaussian log-density over 255-scaled pixels with
+            # variance = scale (same runaway-normalizer note as laplace).
+            return (-0.5 * jnp.sum(
+                jnp.square(reference - reconstruction) / scale,
+                axis=(1, 2, 3)) * 255.0 ** 2
+                - 0.5 * num_dims * jnp.log(2.0 * jnp.pi * scale))
         if c.likelihood == "laplace":
             return laplace()
         if c.likelihood == "ms-ssim":

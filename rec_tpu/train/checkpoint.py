@@ -11,6 +11,8 @@ Orbax backend can be swapped back in for multi-host sharded states.)
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 import re
 from typing import Optional
@@ -21,6 +23,63 @@ from flax import serialization
 from .state import TrainState
 
 _CKPT_RE = re.compile(r"^ckpt_(\d+)\.msgpack$")
+_MODEL_CONFIG = "model_config.json"
+
+
+def save_model_config(directory: str, kind: str, cfg) -> None:
+    """Persist the model family + architecture config next to the
+    checkpoints, so eval CLIs can detect (and correct) a config mismatch.
+
+    Motivation: flax restore maps by tree structure, so a checkpoint
+    trained with one likelihood/config restores SILENTLY onto a model
+    built with another (same param tree), and every downstream metric is
+    garbage — observed as a laplace-trained LargeResNetVAE evaluated as
+    discretized_logistic reporting a constant 16 bpd NLL."""
+    os.makedirs(directory, exist_ok=True)
+    cfg_dict = (dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg)
+                else dict(cfg))
+    with open(os.path.join(directory, _MODEL_CONFIG), "w") as f:
+        json.dump({"kind": kind, "cfg": cfg_dict}, f, indent=2)
+
+
+def load_model_config(directory: str) -> Optional[dict]:
+    """The persisted {"kind", "cfg"} dict, or None (pre-existing dirs)."""
+    path = os.path.join(directory, _MODEL_CONFIG)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def reconcile_model_config(directory: str, kind: str, cfg, log=None):
+    """Return ``cfg`` corrected to the persisted training config.
+
+    If the checkpoint directory records a model config and it differs from
+    the caller's, the TRAINED config wins (evaluating a checkpoint with a
+    different architecture/likelihood is never right) and a warning names
+    every overridden field.  Tuple-typed fields survive the JSON round
+    trip (lists are converted back per the dataclass field types)."""
+    saved = load_model_config(directory)
+    if saved is None or saved.get("kind") != kind:
+        return cfg
+    current = dataclasses.asdict(cfg)
+    overrides = {}
+    for f in dataclasses.fields(cfg):
+        if f.name not in saved["cfg"]:
+            continue
+        v = saved["cfg"][f.name]
+        if isinstance(getattr(cfg, f.name), tuple) and isinstance(v, list):
+            v = tuple(v)
+        if current.get(f.name) != (list(v) if isinstance(v, tuple) else v):
+            overrides[f.name] = v
+    if overrides:
+        msg = (f"checkpoint {directory} was trained with "
+               f"{overrides} — overriding the requested model config "
+               f"to match (a structural-silent mismatch poisons every "
+               f"metric)")
+        (log.warning if log else print)(msg)
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
 
 
 class CheckpointManager:

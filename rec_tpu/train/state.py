@@ -35,9 +35,21 @@ def staircase_schedule(base_lr: float, drop_after: int, drop_rate: float,
     return schedule
 
 
-def make_optimizer(name: str, schedule) -> optax.GradientTransformation:
+def make_optimizer(name: str, schedule,
+                   clip_norm: float = 0.0) -> optax.GradientTransformation:
+    """adam/adamax with optional global-norm gradient clipping.
+
+    Clipping matters once a REAL (normalized) likelihood is trained: a
+    sharp discretized-logistic at a learned scale produces occasional
+    huge recon gradients (observed: NaN at ~1k iters training the large
+    model at lr 3e-4), which the flat pseudo-likelihoods never did.
+    ``clip_norm=0`` preserves the old optimizer exactly (checkpointed
+    opt_state trees stay compatible only within one setting)."""
     table = {"adam": optax.adam, "adamax": optax.adamax}
-    return table[name](schedule)
+    opt = table[name](schedule)
+    if clip_norm and clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+    return opt
 
 
 def init_state(params, tx: optax.GradientTransformation,

@@ -149,3 +149,53 @@ def test_vae_train_step_descends():
     assert losses[-1] < losses[0]
     assert m["kl_per_block"].shape == (8,)
     assert m["reconstruction"].shape == x.shape
+
+
+class TestModelConfigPersistence:
+    """save/load/reconcile of the trained-architecture record
+    (train/checkpoint.py): a laplace-trained checkpoint must not evaluate
+    as discretized_logistic just because the param trees match."""
+
+    def test_reconcile_overrides_and_warns(self, tmp_path, capsys):
+        import dataclasses
+
+        from rec_tpu.models.large_resnet_vae import LargeResNetVAEConfig
+        from rec_tpu.train import (load_model_config, reconcile_model_config,
+                                   save_model_config)
+
+        trained = LargeResNetVAEConfig(likelihood="laplace",
+                                       first_stochastic_filters=64)
+        save_model_config(str(tmp_path), "large_resnet_vae", trained)
+        saved = load_model_config(str(tmp_path))
+        assert saved["kind"] == "large_resnet_vae"
+        assert saved["cfg"]["likelihood"] == "laplace"
+
+        requested = LargeResNetVAEConfig(likelihood="discretized_logistic")
+        fixed = reconcile_model_config(str(tmp_path), "large_resnet_vae",
+                                       requested)
+        assert fixed.likelihood == "laplace"
+        assert fixed.first_stochastic_filters == 64
+        # tuple fields survive the JSON round trip
+        assert fixed.kernel_size == (3, 3)
+        assert "overriding" in capsys.readouterr().out
+
+    def test_reconcile_noop_without_record_or_other_kind(self, tmp_path):
+        from rec_tpu.models.resnet_vae import ResNetVAEConfig
+        from rec_tpu.train import reconcile_model_config, save_model_config
+
+        cfg = ResNetVAEConfig()
+        assert reconcile_model_config(str(tmp_path), "resnet_vae",
+                                      cfg) == cfg
+        save_model_config(str(tmp_path), "large_resnet_vae",
+                          {"level_1_filters": 7})
+        assert reconcile_model_config(str(tmp_path), "resnet_vae",
+                                      cfg) == cfg
+
+    def test_dict_config_round_trip(self, tmp_path):
+        from rec_tpu.train import load_model_config, save_model_config
+
+        save_model_config(str(tmp_path), "large_level_2_vae",
+                          {"level_1_filters": 196, "loss_fn": "mse",
+                           "beta": 0.01})
+        saved = load_model_config(str(tmp_path))
+        assert saved["cfg"]["level_1_filters"] == 196
