@@ -43,7 +43,10 @@ def main():
                 rows.extend(list(csv.DictReader(f)))
         if not rows:
             continue
-        bpp = float(np.mean([float(r["bpp"]) for r in rows]))
+        # compress_with_lossy_model.py writes "actual_bpp" (file bits) and
+        # "ideal_bpp" (KL); accept either column name for robustness.
+        bpp = float(np.mean([float(r.get("actual_bpp", r.get("bpp")))
+                             for r in rows]))
         psnr = float(np.mean([float(r["psnr"]) for r in rows]))
         ms = float(np.mean([float(r["ms_ssim"]) for r in rows]))
         points.append((bpp, psnr, float(_ms_ssim_db(ms))))
