@@ -90,12 +90,10 @@ def production(ckpt_dir=DEFAULT_CKPT, dataset="hopper32", n_images=8):
 
     model = BidirectionalResNetVAE(cfg=cfg, coder=coder)
     params = model.init(jax.random.PRNGKey(0), xs[:1], jax.random.PRNGKey(1))
-    tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
-    ckpt = CheckpointManager(ckpt_dir)
-    restored = ckpt.restore(init_state(params, tx, beta=1.0))
+    restored = CheckpointManager(ckpt_dir).restore_params(params)
     if restored is None:
         return False
-    params = restored.ema_params
+    params = restored["ema_params"]
 
     # The timed loop encodes image i at rep r with seed 4321+31r+i, and the
     # model folds per-res-block seeds seed+7919g (resnet_vae.compress:297).
@@ -214,11 +212,9 @@ def table(ckpt_dir=DEFAULT_CKPT, dataset="hopper32"):
 
     model = BidirectionalResNetVAE(cfg=cfg, coder=base)
     params = model.init(jax.random.PRNGKey(0), xs[:1], jax.random.PRNGKey(1))
-    tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
-    restored = CheckpointManager(ckpt_dir).restore(
-        init_state(params, tx, beta=1.0))
+    restored = CheckpointManager(ckpt_dir).restore_params(params)
     assert restored is not None, "table mode needs the trained checkpoint"
-    params = restored.ema_params
+    params = restored["ema_params"]
 
     # One budget for every row (probe like production, over all 32 images).
     fwd = jax.jit(lambda p, x, k: model.apply(p, x, k))

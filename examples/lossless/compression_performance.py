@@ -90,6 +90,9 @@ class Config:
     probe_every_image: bool = True
     true_lossless: bool = True   # also code the residual stream (beyond the
                                  # reference, which only counts those bits)
+    tile: int = 0  # >0: compress each image as independent tile x tile
+                   # patches (per-image totals aggregated in the CSV) —
+                   # keeps a patch-trained model in its trained regime
     use_ema: bool = True
     model_save_dir: str = "checkpoints/lossless"
     output_dir: str = "results/lossless"
@@ -187,16 +190,16 @@ def pad_multiple_for(cfg: Config) -> int:
 
 def load_params(cfg: Config, model, example):
     """Restore trained params (EMA swapped in, ref :199,268), or
-    fresh-initialize when no checkpoint exists."""
+    fresh-initialize when no checkpoint exists.  Uses the params-only
+    restore so evaluation never depends on the training optimizer's
+    state tree."""
     params = model.init(jax.random.PRNGKey(cfg.seed), example,
                         jax.random.PRNGKey(cfg.seed + 1))
-    tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
-    state = init_state(params, tx, beta=1.0)
-    ckpt = CheckpointManager(cfg.model_save_dir)
-    restored = ckpt.restore(state)
+    restored = CheckpointManager(cfg.model_save_dir).restore_params(params)
     if restored is None:
         return params, False
-    return (restored.ema_params if cfg.use_ema else restored.params), True
+    return (restored["ema_params"] if cfg.use_ema
+            else restored["params"]), True
 
 
 def initialize_coder_ratios(cfg: Config, log):
@@ -352,26 +355,47 @@ def main(argv):
               "total_bits_per_dim", "residual_bits", "psnr", "ms_ssim",
               "comp_time", "decomp_time", "roundtrip_ok",
               "saturated_blocks"]
+    # Work units: whole images, or (tile > 0) fixed tiles of each image —
+    # e.g. tile=256 evaluates a big photo as the 256x256 patches the model
+    # was trained on.  A model that is off-distribution at full size shows
+    # a heavy-tailed per-block KL (budgets in the thousands); tiling keeps
+    # the codec in the trained regime, every tile stays exactly lossless,
+    # and per-image totals are aggregated below.
+    units = []  # (label, image_idx, unit_array)
+    for i, img in enumerate(images):
+        if cfg.tile:
+            t = cfg.tile
+            padded = np.asarray(pad_to_multiple(img[None], t))[0]
+            for r in range(0, padded.shape[0], t):
+                for c in range(0, padded.shape[1], t):
+                    units.append((f"{i}_t{r // t}_{c // t}", i,
+                                  padded[r:r + t, c:c + t]))
+        else:
+            units.append((str(i), i, img))
+
     rows = []
     crashes = 0
-    for i, img in enumerate(images):
+    for u, (label, i, img) in enumerate(units):
         x = jnp.asarray(pad_to_multiple(img[None], pad))
         # Size the static partition budget to the data, like the
         # reference's dynamic ceil(KL/Omega) (ref coder.py:501).  Probing
         # every image catches a later image whose KL exceeds the first
         # image's budget; growth recompiles, shrinkage never does.
-        if cfg.auto_max_partitions and (i == 0 or cfg.probe_every_image):
+        if cfg.auto_max_partitions and (u == 0 or cfg.probe_every_image):
             need = required_budget(cfg, adapter, coder, params, x,
-                                   cfg.seed + i)
+                                   cfg.seed + u)
             if need > coder.max_partitions:
                 coder = grow_budget(cfg, log, coder, need)
                 adapter = ModelAdapter(cfg, coder)
         try:
-            rows.append(_compress_one(cfg, log, adapter, coder, params, i,
-                                      img, x, timer))
+            rows.append(_compress_one(cfg, log, adapter, coder, params,
+                                      label, cfg.seed + u, img, x, timer))
         except Exception as e:  # per-image catch-and-continue (ref :375-377)
             crashes += 1
-            log.error(f"image {i} failed: {type(e).__name__}: {e}")
+            log.error(f"unit {label} failed: {type(e).__name__}: {e}")
+
+    if cfg.tile and rows:
+        rows += _aggregate_tiles(cfg, log, rows, images)
 
     with open(csv_path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=fields)
@@ -399,11 +423,47 @@ def _ms_ssim_auto(a, b):
     return float(ms_ssim(a, b, weights=w / w.sum())[0])
 
 
-def _compress_one(cfg, log, adapter: ModelAdapter, coder, params, i, img, x,
-                  timer: PhaseTimer):
+def _aggregate_tiles(cfg, log, rows, images):
+    """One summary CSV row per image from its tiles' rows: bits summed,
+    quality metrics dim-weighted (every tile is individually verified
+    exactly lossless, so the total is too)."""
+    out = []
+    for i, img in enumerate(images):
+        tr = [r for r in rows if str(r["index"]).startswith(f"{i}_t")]
+        if not tr:
+            continue
+        dims = np.asarray([r["width"] * r["height"] * 3.0 for r in tr])
+        bits = sum(r["latent_code_bits"] + r["residual_bits"] for r in tr)
+        wmean = lambda k: float(np.sum(
+            [r[k] * d for r, d in zip(tr, dims)]) / dims.sum())
+        row = dict(index=f"{i}_total", width=img.shape[1],
+                   height=img.shape[0], seed=cfg.seed,
+                   total_kl=sum(r["total_kl"] for r in tr),
+                   ideal_elbo_bpd=wmean("ideal_elbo_bpd"),
+                   ideal_psnr=wmean("ideal_psnr"),
+                   ideal_ms_ssim=wmean("ideal_ms_ssim"),
+                   latent_code_bits=sum(r["latent_code_bits"] for r in tr),
+                   file_bits=sum(r["file_bits"] for r in tr),
+                   total_bits_per_dim=bits / dims.sum(),
+                   residual_bits=sum(r["residual_bits"] for r in tr),
+                   psnr=wmean("psnr"), ms_ssim=wmean("ms_ssim"),
+                   comp_time=sum(r["comp_time"] for r in tr),
+                   decomp_time=sum(r["decomp_time"] for r in tr),
+                   roundtrip_ok=all(r["roundtrip_ok"] for r in tr),
+                   saturated_blocks=sum(r["saturated_blocks"] for r in tr))
+        log.info(f"image {i} TOTAL over {len(tr)} tiles: "
+                 f"bpd={row['total_bits_per_dim']:.3f} "
+                 f"ideal={row['ideal_elbo_bpd']:.3f} "
+                 f"ratio={row['total_bits_per_dim'] / max(row['ideal_elbo_bpd'], 1e-9):.3f} "
+                 f"lossless={row['roundtrip_ok']}")
+        out.append(row)
+    return out
+
+
+def _compress_one(cfg, log, adapter: ModelAdapter, coder, params, i, seed,
+                  img, x, timer: PhaseTimer):
     h, w = x.shape[1:3]
     num_dims = float(np.prod(x.shape[1:]))
-    seed = cfg.seed + i
 
     # Ideal pass: ELBO metrics + uncoded-reconstruction quality
     # (ref :321-342 and the ideal_PSNR/ideal_MS_SSIM CSV columns, :280-297).

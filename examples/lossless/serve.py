@@ -131,12 +131,10 @@ def load_params(cfg: Config, model, example, mesh):
     """
     params = model.init(jax.random.PRNGKey(cfg.seed), example,
                         jax.random.PRNGKey(cfg.seed + 1))
-    tx = make_optimizer("adamax", staircase_schedule(1e-3, 200_000, 0.316))
-    state = init_state(params, tx, beta=1.0)
-    restored = CheckpointManager(cfg.model_save_dir).restore(state)
+    restored = CheckpointManager(cfg.model_save_dir).restore_params(params)
     ok = restored is not None
     if ok:
-        params = restored.ema_params if cfg.use_ema else restored.params
+        params = restored["ema_params"] if cfg.use_ema else restored["params"]
     host = jax.device_get(params)
     from rec_tpu.parallel.mesh import replicated_sharding
 

@@ -126,11 +126,10 @@ def main(argv):
     example = jnp.asarray(pad_to_multiple(images[:1], 64))
     params = model.init(jax.random.PRNGKey(cfg.seed), example,
                         jax.random.PRNGKey(cfg.seed + 1))
-    ckpt = CheckpointManager(cfg.model_save_dir)
-    tx = make_optimizer("adam", staircase_schedule(1e-4, 10 ** 9, 1.0))
-    restored = ckpt.restore(init_state(params, tx, beta=0.01))
+    restored = CheckpointManager(cfg.model_save_dir).restore_params(params)
     if restored is not None:
-        params = restored.ema_params if cfg.use_ema else restored.params
+        params = (restored["ema_params"] if cfg.use_ema
+                  else restored["params"])
         log.info("restored trained params")
 
     forward = jax.jit(lambda p, x, k: model.apply(p, x, k))

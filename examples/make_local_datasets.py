@@ -89,6 +89,18 @@ def main(argv):
     np.savez_compressed(
         os.path.join(data_dir, "hopper256_train.npz"),
         images=big256[rs.permutation(len(big256))].astype(np.uint8))
+    # 384px patches (stride 32) for RANDOM-CROP-256 training
+    # (dataset.crop_size=256): the fixed-256-patch set above has NO crop
+    # augmentation (crop 256 of a 256 patch is the identity), and a large
+    # model memorizes its 40 members — ideal ELBO was 4 bpd on exact
+    # training patches and 11-13 bpd on every other alignment.  Random
+    # crops of 384px patches restore alignment diversity (~16k distinct
+    # views).
+    big384 = extract_patches(train_img, 384, 32)
+    big384 = np.concatenate([big384, big384[:, :, ::-1]])
+    np.savez_compressed(
+        os.path.join(data_dir, "hopper384_train.npz"),
+        images=big384[rs.permutation(len(big384))].astype(np.uint8))
     # hopper256 test split: the two bottom 256x256 crops.  Without this
     # file a split="test" consumer silently fell back to SYNTHETIC data.
     # Only the bottom 96 rows are strictly held out from training (the

@@ -298,7 +298,24 @@ def encode_blocks(cfg: BeamSearchConfig, targets: GaussianParams,
     D = targets.loc.shape[-1]
     P = cfg.max_partitions
 
-    if _use_fused(cfg) and not cfg.shared_pool:
+    # The kernel streams a dense (N*P, D_pad) schedule x3 from HBM; at
+    # extreme blocks-x-budget products (e.g. a whole big image with a
+    # heavy-tailed per-block KL forcing a 3000+ budget) that tensor alone
+    # is tens of GB and the compile SIGSEGVs.  Fall back to the scan path
+    # (scalar (N, P) schedule) with a warning instead.
+    # 512 MiB guard: a 1.7 GiB schedule already SIGSEGV'd the TPU
+    # compiler; budgets that big come from pathological single-dim KL and
+    # run acceptably on the scan path (which carries only scalar rows).
+    sched_bytes = 3 * targets.loc.shape[0] * P * (-(-D // 128) * 128) * 4
+    if sched_bytes > (1 << 29) and _use_fused(cfg) and not cfg.shared_pool:
+        import warnings
+
+        warnings.warn(
+            f"mega-kernel schedule would need {sched_bytes / 2**30:.1f} GiB "
+            f"HBM (N={targets.loc.shape[0]}, P={P}); using the XLA scan "
+            f"path — consider tiling the input (per-block KL this uneven "
+            f"usually means the model is off-distribution)", stacklevel=2)
+    elif _use_fused(cfg) and not cfg.shared_pool:
         from ..ops.mega_beam import mega_encode_blocks
 
         indices, n = mega_encode_blocks(
@@ -348,15 +365,27 @@ def _replay_keys(cfg: BeamSearchConfig, block_key, indices, count):
     and the fold_in key tree are integer-exact by definition, so the whole
     (P,) key vector is computed up front with no sequential float carry —
     this is what lets the replay run as ONE batched generation instead of a
-    per-step loop.  The static unroll is P*2 scalar u32 ops that XLA fuses
-    into a single kernel.  The winning candidate's row within each key's
-    counter space is the transmitted index (row addressing)."""
+    per-step loop.  At small budgets the chain is statically unrolled
+    (P*2 scalar u32 ops XLA fuses into one kernel); past 128 partitions it
+    becomes a lax.scan — a 4000-budget unroll (pathological-KL images)
+    produced an HLO big enough to SIGSEGV the TPU compiler.  Both forms
+    compute the identical integer chain.  The winning candidate's row
+    within each key's counter space is the transmitted index (row
+    addressing)."""
     P = cfg.max_partitions
-    hs, h = [], rng.fnv_init()
-    for t in range(P):
-        hs.append(h)
-        h = jnp.where(t < count, rng.fnv_step(h, indices[t]), h)
-    hashes = jnp.stack(hs)  # (P,) u32
+    if P <= 128:
+        hs, h = [], rng.fnv_init()
+        for t in range(P):
+            hs.append(h)
+            h = jnp.where(t < count, rng.fnv_step(h, indices[t]), h)
+        hashes = jnp.stack(hs)  # (P,) u32
+    else:
+        def chain(h, t):
+            return (jnp.where(t < count, rng.fnv_step(h, indices[t]), h),
+                    h)
+
+        _, hashes = jax.lax.scan(chain, rng.fnv_init(),
+                                 jnp.arange(P, dtype=jnp.int32))
 
     def per_t(t, h):
         skey = rng.step_key(block_key, t)

@@ -35,6 +35,7 @@ DATASET_SHAPES = {
     # a spatial train/test split, and the full photo as a Kodak-like image.
     "hopper32": (32, 32, 3),
     "hopper256": (256, 256, 3),
+    "hopper384": (384, 384, 3),
     "hopper512": (600, 512, 3),
 }
 

@@ -127,6 +127,30 @@ class CheckpointManager:
             state = serialization.from_bytes(template, f.read())
         return jax.device_put(state)
 
+    def restore_params(self, params_template) -> Optional[dict]:
+        """Eval-path restore: params + EMA params only.
+
+        Evaluation must not depend on the TRAINING optimizer's state tree
+        (it changes with settings like gradient clipping, which wraps
+        opt_state in an extra chain level); a full-state template restore
+        then fails on a structural mismatch even though the params are
+        fine.  Deserializes the raw msgpack and maps only the params/EMA
+        subtrees onto the template.  Returns
+        ``{"step", "params", "ema_params"}`` on device, or None."""
+        steps = self._steps()
+        if not steps:
+            return None
+        with open(self._path(steps[-1]), "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        out = {
+            "step": int(raw["step"]),
+            "params": serialization.from_state_dict(params_template,
+                                                    raw["params"]),
+            "ema_params": serialization.from_state_dict(params_template,
+                                                        raw["ema_params"]),
+        }
+        return jax.device_put(out)
+
     @property
     def latest_step(self) -> Optional[int]:
         steps = self._steps()

@@ -20,17 +20,23 @@ LOG2 = 0.6931471805599453
 
 
 def get_distortion(name: str) -> Callable:
+    # Per-ELEMENT means with the reference's x255 rescaling corrections
+    # (ref train_lossy_model.py:139-173) — NOT per-image sums: the loss is
+    # beta * distortion + bpp, and bpp is per pixel, so a per-image-summed
+    # distortion would skew the beta scale by the image area (~2e5) and
+    # make the published beta values meaningless here.
     def mse(x, y):
-        return jnp.mean(jnp.sum(jnp.square(255.0 * (x - y)), axis=(1, 2, 3)))
+        return jnp.mean(jnp.square(x - y)) * 255.0 ** 2
 
     def mae(x, y):
-        return jnp.mean(jnp.sum(jnp.abs(255.0 * (x - y)), axis=(1, 2, 3)))
+        return jnp.mean(jnp.abs(x - y)) * 255.0
 
     def neg_msssim(x, y):
-        return jnp.mean(1.0 - ms_ssim(x, y, max_val=1.0))
+        return jnp.mean(1.0 - ms_ssim(x, y, max_val=1.0)) * 255.0
 
     def mae_msssim(x, y):
-        return mae(x, y) + 1e4 * neg_msssim(x, y)
+        alpha = 0.84  # ref :166-171 blend
+        return alpha * neg_msssim(x, y) + (1 - alpha) * mae(x, y)
 
     def discretized_logistic(x, y):
         from ..models.likelihoods import discretized_logistic as dl

@@ -199,3 +199,33 @@ class TestModelConfigPersistence:
                            "beta": 0.01})
         saved = load_model_config(str(tmp_path))
         assert saved["cfg"]["level_1_filters"] == 196
+
+
+def test_restore_params_ignores_optimizer_structure(tmp_path):
+    """Eval restore must survive a checkpoint written with a DIFFERENT
+    optimizer tree (e.g. training added gradient clipping, which wraps
+    opt_state in an optax.chain level) — the exact failure that broke
+    compression_performance on the clipped h512 checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rec_tpu.train import (CheckpointManager, init_state, make_optimizer,
+                               staircase_schedule)
+
+    params = {"params": {"w": jnp.arange(4.0), "b": jnp.ones(())}}
+    tx = make_optimizer("adam", staircase_schedule(1e-3, 100, 0.5),
+                        clip_norm=1.0)
+    state = init_state(params, tx, beta=1.0)
+    state = state.replace(step=jnp.asarray(7, jnp.int32)) \
+        if hasattr(state, "replace") else state._replace(
+            step=jnp.asarray(7, jnp.int32))
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(state)
+
+    restored = ckpt.restore_params(params)
+    assert restored is not None and restored["step"] == 7
+    np.testing.assert_array_equal(np.asarray(restored["params"]["params"]["w"]),
+                                  np.arange(4.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored["ema_params"]["params"]["b"]), 1.0)
