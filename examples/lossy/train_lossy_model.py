@@ -101,8 +101,12 @@ def main(argv):
         "loss_fn": cfg.loss_fn, "beta": cfg.beta})
     restored = ckpt.restore(state)
     if restored is not None:
-        state = restored
-        log.info(f"restored step {int(state.step)}")
+        # The CLI's beta wins over the restored one: warm-starting a new
+        # RD operating point from a neighbour's checkpoint (fine-tune at a
+        # different beta) is the standard way to build the beta sweep, and
+        # silently keeping the old beta would retrain the same point.
+        state = restored._replace(beta=jnp.asarray(cfg.beta, jnp.float32))
+        log.info(f"restored step {int(state.step)} (beta={cfg.beta})")
 
     step_fn = make_train_step(
         model, LossyTrainConfig(beta=cfg.beta, distortion=cfg.loss_fn,
