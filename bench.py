@@ -333,6 +333,8 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "untrained":
         untrained()
+    elif len(sys.argv) > 1 and sys.argv[1] == "table":
+        table(*sys.argv[2:4])
     elif len(sys.argv) > 1 and sys.argv[1] == "production":
         args = sys.argv[2:]
         if not production(*args[:2], *(int(a) for a in args[2:3])):

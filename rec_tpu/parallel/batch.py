@@ -21,7 +21,22 @@ from .mesh import DATA_AXIS, data_axis_sharding
 
 def make_batch_compress(model):
     """Returns jitted (params, images (B,H,W,C), seeds (B,)) -> stacked
-    compress outputs (leading axis B)."""
+    compress outputs (leading axis B).
+
+    The whole-partition mega-kernel is single-image-only on real TPU: a
+    vmapped ``pallas_call`` batches its SMEM count/key specs into
+    (batch, N) blocks that Mosaic's tiling rules reject (interpret mode
+    accepts them, so only hardware lowering catches it).  The batched
+    path therefore always uses the XLA scan encode — whose per-step work
+    vectorizes across the batch anyway — by cloning the model with the
+    kernel disabled.  Streams are identical on both paths, so files stay
+    decode-compatible either way."""
+    import dataclasses
+
+    coder = getattr(model, "coder", None)
+    if coder is not None and getattr(coder, "use_fused_kernel", False):
+        model = model.clone(
+            coder=dataclasses.replace(coder, use_fused_kernel=False))
 
     def one(params, image, seed):
         return model.apply(params, image[None], seed, method=model.compress)
