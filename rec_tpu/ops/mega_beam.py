@@ -171,6 +171,13 @@ def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
         for k in range(B):
             m = jnp.max(sc_all)
             f = jnp.min(jnp.where(sc_all == m, flat, _BIG_I32))
+            # NaN-score guard: NaN never equals the max, leaving the
+            # sentinel in f, whose decoded candidate (2^30/128) is OUT OF
+            # ALPHABET for the container codec.  Degenerate steps (zero
+            # aux variance from a fitted ratio ~1.0) select beam 0 /
+            # candidate 0 instead — any in-range index replays losslessly
+            # (selection-only kernel).
+            f = jnp.where(f >= _BIG_I32, 0, f)
             parent_ref[k] = f % np.int32(128)
             cand_ref[k] = f // np.int32(128)
             sc_all = jnp.where(flat == f, _NEG_INF, sc_all)
@@ -261,6 +268,14 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
         lambda tgt, cod, w_b, ca_b: jax.vmap(
             lambda w_t, ca_t: coeffs_one(tgt, cod, w_t, ca_t))(w_b, ca_b)
     )(targets, coders, w, c_after)
+    # Degenerate schedule steps (w_t = 0 mid-chain when a fitted ratio hits
+    # 1.0, or c_after = 1 early) give zero aux variances -> inf/NaN
+    # coefficients -> NaN scores.  Keep everything finite: the step then
+    # scores all candidates equally and the NaN guard in the kernel picks
+    # a deterministic in-range index.
+    qa = jnp.nan_to_num(qa, nan=0.0, posinf=0.0, neginf=0.0)
+    qb = jnp.nan_to_num(qb, nan=0.0, posinf=0.0, neginf=0.0)
+    ascale = jnp.nan_to_num(ascale, nan=0.0, posinf=0.0, neginf=0.0)
 
     pad_d = D_pad - D
     if pad_d:
