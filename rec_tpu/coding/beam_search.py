@@ -103,6 +103,12 @@ class BeamCodedBlock(NamedTuple):
 def _use_fused(cfg: BeamSearchConfig) -> bool:
     if not cfg.use_fused_kernel or cfg.stream not in ("fmix", "threefry"):
         return False
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+    if not on_tpu:
+        return False
     if cfg.n_beams > 128 or cfg.n_samples > 128:
         # The kernel's selection tile is (S_pad, 128) with one column per
         # beam; oversize configs (Omega*(1+eps) > ~4.85 -> S > 128, or
@@ -115,10 +121,7 @@ def _use_fused(cfg: BeamSearchConfig) -> bool:
             f"(got B={cfg.n_beams}, S={cfg.n_samples}); using the XLA "
             f"scan encode path", stacklevel=3)
         return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    return True
 
 
 def _encode_step(cfg: BeamSearchConfig, target: GaussianParams,
@@ -282,7 +285,12 @@ def encode_blocks(cfg: BeamSearchConfig, targets: GaussianParams,
     per-step dispatch + HBM floor of the scan path.  The scan path below is
     the reference semantics (and the CPU/fallback path); the kernel's
     returned sample is always the pinned decode replay, so the bit-exact
-    contract is identical on both paths.
+    contract is identical on both paths.  Under a further vmap (batched
+    images) the kernel path stays fused: a custom batching rule flattens
+    (image, block) into the kernel's block-grid axis (mega_beam), and the
+    per-block partition masking in the kernel preserves the early exit the
+    scan path loses to vmap's cond->select degradation below.  Oversized
+    blocks-x-budget schedules are chunked inside mega_encode_blocks.
 
     Same streams and outputs as ``vmap(encode_block)``, but the partition
     scan is OUTERMOST with the per-block work vmapped inside it, so one
@@ -298,24 +306,7 @@ def encode_blocks(cfg: BeamSearchConfig, targets: GaussianParams,
     D = targets.loc.shape[-1]
     P = cfg.max_partitions
 
-    # The kernel streams a dense (N*P, D_pad) schedule x3 from HBM; at
-    # extreme blocks-x-budget products (e.g. a whole big image with a
-    # heavy-tailed per-block KL forcing a 3000+ budget) that tensor alone
-    # is tens of GB and the compile SIGSEGVs.  Fall back to the scan path
-    # (scalar (N, P) schedule) with a warning instead.
-    # 512 MiB guard: a 1.7 GiB schedule already SIGSEGV'd the TPU
-    # compiler; budgets that big come from pathological single-dim KL and
-    # run acceptably on the scan path (which carries only scalar rows).
-    sched_bytes = 3 * targets.loc.shape[0] * P * (-(-D // 128) * 128) * 4
-    if sched_bytes > (1 << 29) and _use_fused(cfg) and not cfg.shared_pool:
-        import warnings
-
-        warnings.warn(
-            f"mega-kernel schedule would need {sched_bytes / 2**30:.1f} GiB "
-            f"HBM (N={targets.loc.shape[0]}, P={P}); using the XLA scan "
-            f"path — consider tiling the input (per-block KL this uneven "
-            f"usually means the model is off-distribution)", stacklevel=2)
-    elif _use_fused(cfg) and not cfg.shared_pool:
+    if _use_fused(cfg) and not cfg.shared_pool:
         from ..ops.mega_beam import mega_encode_blocks
 
         indices, n = mega_encode_blocks(

@@ -44,48 +44,18 @@ import numpy as np
 from ..coding import rng
 from ..coding.gauss import GaussianParams, auxiliary_target, kl_divergence
 from ..coding.partition import num_partitions, partition_schedule
-from .threefry_normal import _LO, erfinv_f32
+from .threefry_normal import bits_to_normal as _normal
+from .threefry_normal import threefry2x32 as _threefry2x32
 
-_GOLDEN = np.uint32(0x9E3779B9)
 _NEG_INF = np.float32(-np.inf)
 _BIG_I32 = np.int32(2 ** 30)
 
-
-def _rotl(x, r):
-    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
-
-
-def _threefry2x32(k1, k2, x0, x1):
-    """Unrolled 20-round threefry2x32 (jax/_src/prng.py lowering)."""
-    ks2 = k1 ^ k2 ^ np.uint32(0x1BD11BDA)
-    x = [x0 + k1, x1 + k2]
-
-    def rounds(x, rots):
-        for r in rots:
-            a = x[0] + x[1]
-            b = _rotl(x[1], r)
-            x = [a, a ^ b]
-        return x
-
-    x = rounds(x, (13, 15, 26, 6))
-    x = [x[0] + k2, x[1] + ks2 + np.uint32(1)]
-    x = rounds(x, (17, 29, 16, 24))
-    x = [x[0] + ks2, x[1] + k1 + np.uint32(2)]
-    x = rounds(x, (13, 15, 26, 6))
-    x = [x[0] + k1, x[1] + k2 + np.uint32(3)]
-    x = rounds(x, (17, 29, 16, 24))
-    x = [x[0] + k2, x[1] + ks2 + np.uint32(4)]
-    x = rounds(x, (13, 15, 26, 6))
-    return x[0] + ks2, x[1] + k1 + np.uint32(5)
-
-
-def _fmix32(x):
-    x = x ^ (x >> np.uint32(16))
-    x = x * np.uint32(0x85EBCA6B)
-    x = x ^ (x >> np.uint32(13))
-    x = x * np.uint32(0xC2B2AE35)
-    x = x ^ (x >> np.uint32(16))
-    return x
+# The kernel's generators ARE the replay-side ones: threefry2x32 /
+# bits_to_normal come from ops/threefry_normal.py and the fmix mixer from
+# coding/rng.py — one definition each, so the kernel-side and XLA-replay
+# streams cannot silently diverge (tests/test_ops.py cross-checks them on a
+# key/counter grid anyway, guarding against a Mosaic-vs-XLA integer-op
+# regression).
 
 
 def _fold_in(k1, k2, data_u32):
@@ -95,16 +65,9 @@ def _fold_in(k1, k2, data_u32):
 
 def _bits(stream, bk1, bk2, ctr):
     if stream == "fmix":
-        return _fmix32(_fmix32(ctr * _GOLDEN + bk1) ^ bk2)
+        return rng.fmix_bits(bk1, bk2, ctr)
     o0, o1 = _threefry2x32(bk1, bk2, jnp.zeros_like(ctr), ctr)
     return o0 ^ o1
-
-
-def _normal(bits):
-    fbits = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
-    x01 = jax.lax.bitcast_convert_type(fbits, jnp.float32) - np.float32(1.0)
-    u = jnp.maximum(x01 * (np.float32(1.0) - _LO) + _LO, _LO)
-    return np.float32(np.sqrt(2.0)) * erfinv_f32(u)
 
 
 def _kernel(B, S, D, D_pad, S_pad, P_pad, P, stream,
@@ -223,18 +186,135 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
     Returns (indices (N, max_partitions) int32, counts (N,) int32) with the
     same stream contract as beam_search.encode_blocks — decode with the
     standard replay.
+
+    Batching contract: under ``jax.vmap`` (batched-image serving) a custom
+    batching rule flattens the (image, block) axes into this kernel's block
+    grid axis — batched images are structurally just more blocks, each with
+    its own key — so the pallas_call itself is never vmapped (a vmapped
+    call batches the SMEM count/key specs into shapes Mosaic's tiling rules
+    reject on real TPU; interpret mode accepts them, which is how the gap
+    hid until round 4).  Oversized blocks-x-budget schedules are chunked
+    over the block axis automatically (blocks are independent), replacing
+    the round-4 512 MiB scan-path fallback.
     """
+    if n_beams > 128 or n_samples > 128:
+        raise ValueError(
+            f"mega-kernel selection tile is (S, 128): needs n_beams<=128 "
+            f"and n_samples<=128, got B={n_beams}, S={n_samples} — use the "
+            f"scan path (beam_search.encode_blocks falls back automatically)")
+    bkeys_raw = jax.vmap(jax.random.key_data)(bkeys).astype(jnp.uint32)
+    fn = _fused_fn(float(kl_per_partition), int(n_beams), int(n_samples),
+                   int(max_partitions), str(stream), bool(interpret),
+                   ratios is None)
+    if ratios is None:
+        return fn(targets, coders, bkeys_raw)
+    return fn(targets, coders, bkeys_raw, jnp.asarray(ratios, jnp.float32))
+
+
+# Schedule-tensor HBM budget per kernel call: a 1.7 GiB schedule SIGSEGV'd
+# the TPU compiler in round 3; chunking over the (independent) block axis
+# keeps every call under this while preserving streams exactly.
+_SCHED_LIMIT_BYTES = 1 << 29
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_fn(kl_per_partition, n_beams, n_samples, max_partitions, stream,
+              interpret, no_ratios):
+    """Cached custom_vmap wrapper for one static kernel configuration."""
+
+    def impl(targets, coders, bkeys_raw, ratios):
+        if ratios is not None:
+            # custom_vmap can hand unbatched args through as numpy-backed
+            # literals whose __getitem__ rejects tracer indices; re-wrap.
+            ratios = jnp.asarray(ratios, jnp.float32)
+        N = targets.loc.shape[0]
+        D = targets.loc.shape[1]
+        D_pad = -(-D // 128) * 128
+        per_block = 3 * max_partitions * D_pad * 4
+        chunk = max(1, min(N, _SCHED_LIMIT_BYTES // per_block))
+        call = functools.partial(
+            _mega_call, kl_per_partition=kl_per_partition, n_beams=n_beams,
+            n_samples=n_samples, max_partitions=max_partitions,
+            stream=stream, interpret=interpret)
+        if chunk >= N:
+            return call(targets, coders, bkeys_raw, ratios)
+        # Pad to a chunk multiple (pad blocks: target == coder == N(0,1)
+        # -> KL 0 -> count 0 -> every kernel step masked) and run one
+        # compiled kernel shape over equal slices.
+        n_chunks = -(-N // chunk)
+        pad = n_chunks * chunk - N
+
+        def pad_params(p, scale_fill):
+            return GaussianParams(
+                jnp.pad(p.loc, ((0, pad), (0, 0))),
+                jnp.pad(p.scale, ((0, pad), (0, 0)),
+                        constant_values=scale_fill))
+
+        tp = pad_params(targets, 1.0)
+        cp = pad_params(coders, 1.0)
+        kp = jnp.pad(bkeys_raw, ((0, pad), (0, 0)))
+        inds, ns = [], []
+        for i in range(n_chunks):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            ind, n = call(
+                GaussianParams(tp.loc[sl], tp.scale[sl]),
+                GaussianParams(cp.loc[sl], cp.scale[sl]), kp[sl], ratios)
+            inds.append(ind)
+            ns.append(n)
+        return (jnp.concatenate(inds)[:N], jnp.concatenate(ns)[:N])
+
+    @jax.custom_batching.custom_vmap
+    def fused(*args):
+        targets, coders, bkeys_raw = args[:3]
+        ratios = None if no_ratios else args[3]
+        return impl(targets, coders, bkeys_raw, ratios)
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        # Flatten (image, block) into the kernel's block axis: B images x N
+        # blocks = B*N independent blocks with per-image keys.  No vmapped
+        # pallas_call, no batched SMEM specs, and the kernel's per-block
+        # partition masking (t < n_b) IS the early exit the scan path loses
+        # under vmap (VERDICT r4 next-step #1).
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+
+        def flat(x):
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        targets, coders, bkeys_raw = (
+            jax.tree.map(bcast, a, b)
+            for a, b in zip(args[:3], in_batched[:3]))
+        targets, coders, bkeys_raw = (
+            jax.tree.map(flat, a) for a in (targets, coders, bkeys_raw))
+        if no_ratios:
+            ratios = None
+        else:
+            ratios = args[3]
+            if jax.tree.leaves(in_batched[3])[0]:
+                raise NotImplementedError(
+                    "per-image aux-variance-ratio tables cannot share one "
+                    "fused kernel call; broadcast the table instead")
+        ind, n = impl(targets, coders, bkeys_raw, ratios)
+        N = ind.shape[0] // axis_size
+        return ((ind.reshape(axis_size, N, ind.shape[-1]),
+                 n.reshape(axis_size, N)), (True, True))
+
+    return fused
+
+
+def _mega_call(targets: GaussianParams, coders: GaussianParams,
+               bkeys_raw, ratios, *, kl_per_partition: float, n_beams: int,
+               n_samples: int, max_partitions: int, stream: str,
+               interpret: bool):
+    """One pallas_call over N latent blocks (schedule precompute + kernel)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N, D = targets.loc.shape
     P = max_partitions
     B, S = n_beams, n_samples
-    if B > 128 or S > 128:
-        raise ValueError(
-            f"mega-kernel selection tile is (S, 128): needs n_beams<=128 "
-            f"and n_samples<=128, got B={B}, S={S} — use the scan path "
-            f"(beam_search.encode_blocks falls back automatically)")
     D_pad = -(-D // 128) * 128
     S_pad = -(-S // 8) * 8
     P_pad = -(-P // 128) * 128
@@ -282,8 +362,6 @@ def mega_encode_blocks(targets: GaussianParams, coders: GaussianParams,
         qa = jnp.pad(qa, ((0, 0), (0, 0), (0, pad_d)))
         qb = jnp.pad(qb, ((0, 0), (0, 0), (0, pad_d)))
         ascale = jnp.pad(ascale, ((0, 0), (0, 0), (0, pad_d)))
-
-    bkeys_raw = jax.vmap(jax.random.key_data)(bkeys).astype(jnp.uint32)
 
     # The (N, P, D_pad) schedule tensors flatten to (N*P, D_pad) rows and
     # stream into VMEM as (8, D_pad) blocks selected by the grid index map

@@ -23,20 +23,24 @@ def make_batch_compress(model):
     """Returns jitted (params, images (B,H,W,C), seeds (B,)) -> stacked
     compress outputs (leading axis B).
 
-    The whole-partition mega-kernel is single-image-only on real TPU: a
-    vmapped ``pallas_call`` batches its SMEM count/key specs into
-    (batch, N) blocks that Mosaic's tiling rules reject (interpret mode
-    accepts them, so only hardware lowering catches it).  The batched
-    path therefore always uses the XLA scan encode — whose per-step work
-    vectorizes across the batch anyway — by cloning the model with the
-    kernel disabled.  Streams are identical on both paths, so files stay
-    decode-compatible either way."""
-    import dataclasses
+    The whole-partition mega-kernel stays fused under this vmap: its custom
+    batching rule (ops/mega_beam.py) flattens the (image, block) axes into
+    the kernel's block-grid axis, so one pallas_call encodes the whole
+    batch — no vmapped SMEM specs (which Mosaic rejects on real TPU).
 
-    coder = getattr(model, "coder", None)
-    if coder is not None and getattr(coder, "use_fused_kernel", False):
-        model = model.clone(
-            coder=dataclasses.replace(coder, use_fused_kernel=False))
+    Stream contract, stated precisely: image i is keyed by seeds[i] exactly
+    as if encoded alone, and the coder-level search is bit-identical for
+    bit-identical (posterior, prior) inputs (tests/test_parallel.py,
+    tests/test_ops.py).  On real TPU the MODEL's conv stats differ between
+    the batch-B and batch-1 programs (XLA accumulates f32 convs differently
+    per shape, ~1e-4), so a rare score tie can select a different — equally
+    valid — index chain (measured: h32 trained model, 4-image batch,
+    groups 0-19 of 24 bit-identical, first flip at group 20).  What IS
+    guaranteed is decode coherence: the transmitted (indices, counts)
+    replay bit-exactly through the canonical single-image decoder (the
+    replay is program-order-invariant by construction), and true-lossless
+    residuals are scored against that canonical replay
+    (io/residual.py contract; verified end-to-end by serve.py --verify)."""
 
     def one(params, image, seed):
         return model.apply(params, image[None], seed, method=model.compress)
@@ -50,6 +54,33 @@ def make_batch_decompress(model, shape):
                            method=model.decompress)
 
     return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+
+
+def make_batch_rec_forward(model):
+    """Lossy analogue of ``make_batch_compress``: jitted vmap of a
+    Large{1,2,4}LevelVAE's ``rec_forward`` over (images (B,H,W,C),
+    seeds (B,)).  The per-level coder.encode calls inside ride the same
+    mega-kernel batching rule, so the whole batch's beam search runs as
+    flattened kernel blocks.  Stream contract as make_batch_compress:
+    per-image seeds, decode-coherent via the canonical single-image
+    ``rec_decode``."""
+
+    def one(params, image, seed):
+        return model.apply(params, image[None], seed,
+                           method=model.rec_forward)
+
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+
+
+def make_batch_rec_decode(model, shape):
+    """Batched lossy decode: vmapped ``rec_decode`` over stacked per-level
+    (indices, counts) pytrees and per-image seeds."""
+
+    def one(params, latents, seed):
+        return model.apply(params, shape, latents, seed,
+                           method=model.rec_decode)
+
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
 
 
 def shard_images(images, seeds, mesh):

@@ -70,7 +70,7 @@ def reconcile_model_config(directory: str, kind: str, cfg, log=None):
         v = saved["cfg"][f.name]
         if isinstance(getattr(cfg, f.name), tuple) and isinstance(v, list):
             v = tuple(v)
-        if current.get(f.name) != (list(v) if isinstance(v, tuple) else v):
+        if current.get(f.name) != v:
             overrides[f.name] = v
     if overrides:
         msg = (f"checkpoint {directory} was trained with "

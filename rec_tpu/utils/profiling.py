@@ -30,7 +30,9 @@ def device_fence(tree) -> None:
 
     acc = None
     for leaf in jax.tree.leaves(tree):
-        if isinstance(leaf, jax.Array):
+        if isinstance(leaf, jax.Array) and leaf.size:
+            # size-0 leaves would broadcast the accumulator to shape (0,)
+            # and silently skip the blocking fetch.
             v = jnp.reshape(leaf, (-1,))[:1].astype(jnp.float32)
             acc = v if acc is None else acc + v
     if acc is not None:
