@@ -544,7 +544,7 @@ def _compress_one(cfg, log, adapter: ModelAdapter, coder, params, i, seed,
         assert np.array_equal(quantize(out01),
                               quantize(np.asarray(x[0]) + 0.5)), \
             "lossless pixel recovery failed"
-        residual_bits = len(residual2) * 8.0
+        residual_bits = len(residual2.data) * 8.0
     else:
         from rec_tpu.models.likelihoods import discretized_logistic
 

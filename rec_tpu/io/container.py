@@ -28,12 +28,23 @@ to the pre-rANS format and old files read back unchanged.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
 from .arithmetic import ArithmeticCoder
 from .rans import RansCoder
+
+
+class ResidualSection(NamedTuple):
+    """Trailing residual section: ``tag`` identifies the payload format —
+    "S" = self-describing v2 (adaptive per-class scales, current replay),
+    "R" = legacy v1 (single global scale, pre-round-4 replay; see
+    rec_tpu/io/residual.py).  Pass the whole section to
+    ``residual.decode_residual``."""
+
+    tag: str
+    data: bytes
 
 _STATIC_HEADER = "<IIIIIHHHH"  # little-endian, no padding: a file format must pin byte order
 STATIC_HEADER_SIZE = struct.calcsize(_STATIC_HEADER)  # 28 bytes
@@ -146,9 +157,11 @@ def write_rec(file_path: str, *, seed: int, image_shape: Tuple[int, int, int],
             f.write(code)
         if residual is not None:
             # Optional trailing section (true-lossless residual stream,
-            # rec_tpu/io/residual.py): 'R' + u32 length + bytes.  Readers of
-            # the base format simply never reach it.
-            f.write(b"R" + struct.pack("<I", len(residual)) + residual)
+            # rec_tpu/io/residual.py): tag byte + u32 length + bytes.
+            # Readers of the base format simply never reach it.  "S" = the
+            # v2 self-describing payload; legacy "R" files (v1 payload,
+            # earlier replay version) are read but never written.
+            f.write(b"S" + struct.pack("<I", len(residual)) + residual)
         return f.tell()
 
 
@@ -179,9 +192,9 @@ def read_rec(file_path: str, *,
         index_codes = [f.read(n) for n in index_lens]
         residual = None
         tag = f.read(1)
-        if tag == b"R":
+        if tag in (b"R", b"S"):
             (rlen,) = struct.unpack("<I", f.read(4))
-            residual = f.read(rlen)
+            residual = ResidualSection(tag.decode(), f.read(rlen))
 
     if use_custom_index and index_counts is None:
         raise ValueError("file uses custom index counts; pass index_counts")

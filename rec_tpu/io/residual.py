@@ -2,41 +2,62 @@
 
 The reference's "lossless" evaluation counts the image-residual bits
 implicitly via the discretized-logistic likelihood and only stores latent
-indices in the .rec file (SURVEY.md §0; ref compression_performance.py).
+indices in the .rec file (SURVEY.md §0; ref compression_performance.py:339).
 This module actually codes the residual so the file alone reproduces the
 image bit-exactly:
 
   * the decoder's reconstruction mu (from the REC-decoded latents) defines
-    p(x | mu) = DiscretizedLogistic(mu, s) with the model's single global
-    scale s (ref resnet_vae.py likelihood_log_scale);
+    p(x | mu) = DiscretizedLogistic(mu, s);
   * the residual symbol r = (x_int - mu_int) mod 256 is therefore
-    ~ discretized logistic centred at 0 with scale s — ONE shared histogram,
-    built analytically from the logistic CDF, so nothing extra is
-    transmitted (the decoder knows s from the model);
+    ~ discretized logistic centred at 0;
   * residuals stream through the native arithmetic coder.
 
-The encoder must score residuals against the exact reconstruction the
-decoder will compute — callers pass the decode-replay reconstruction
-(encoder-embeds-decoder, as with the latent sample).
+Adaptive scale field (round 5; VERDICT r4 missing #2): one global scale
+wastes ~2.4 bpd on a generalizing big-image model because the residual
+field is heteroscedastic — flat regions reconstruct to within a level or
+two while textured regions miss by tens.  Both sides hold the SAME decoded
+reconstruction, so both can compute a per-pixel *activity* map (local
+gradient energy of mu) and partition pixels into K classes by activity
+quantiles with ZERO side information; the encoder then fits a per-class
+discretized-logistic scale by MLE on that class's actual residuals and
+transmits K float32 scales (~64 bytes) — the only side information.  Each
+class codes as its own arithmetic stream (they parallelize across host
+threads, like the container's per-latent streams).
+
+Payload format (version 2, stored under the container's "S" tag):
+    u8 version=2 | u8 K | f32 scales[K] | u32 stream_lengths[K] | streams
+Version-1 payloads (container tag "R") are the round-3/4 single-global-
+scale format; ``decode_residual`` still reads them but warns — they were
+also written against the pre-round-4 (einsum) decode replay, so exact
+losslessness is only guaranteed when the writer's replay matches
+(ADVICE r4 #4: detected, not silent).
 
 CONTRACT: the reconstruction entering ``encode_residual`` and
 ``decode_residual`` must come from the SAME compiled program — the canonical
 single-image ``model.decompress``.  Different program shapes (e.g. a vmapped
 batch decode) produce ULP-level reconstruction differences, which flip
-quantization bins at boundaries and corrupt the residual.  Batch-encode
-pipelines therefore run the canonical decode replay per image for residual
-scoring even when the index search was batched.
+quantization bins at boundaries and corrupt the residual (and the class
+map).  Batch-encode pipelines therefore run the canonical decode replay per
+image for residual scoring even when the index search was batched.  All
+class-map math below is host-side numpy in float64 on identical inputs —
+deterministic by construction.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+import struct
+import warnings
+from typing import Tuple, Union
 
 import numpy as np
 
 from .arithmetic import ArithmeticCoder
 
 ALPHABET = 257  # EOF=0 + 256 shifted residual symbols
+RESIDUAL_VERSION = 2
+DEFAULT_CLASSES = 16
+_MIN_SCALE = 1e-5  # in [0,1) image units; ~0.0026 levels
+_MAX_SCALE = 4.0
 
 
 def quantize(image01: np.ndarray) -> np.ndarray:
@@ -51,9 +72,7 @@ def residual_histogram(scale: float, total: int = 1 << 16) -> np.ndarray:
     at integer offsets; floor of 1 count keeps every symbol codable."""
     binsize = 1.0 / 256.0
     r = np.arange(-128, 128, dtype=np.float64)
-
-    def sigmoid(z):
-        return 1.0 / (1.0 + np.exp(-z))
+    from scipy.special import expit as sigmoid  # overflow-stable
 
     lo = (r - 0.5) * binsize / scale
     hi = (r + 0.5) * binsize / scale
@@ -63,24 +82,152 @@ def residual_histogram(scale: float, total: int = 1 << 16) -> np.ndarray:
     return np.concatenate([[1], counts])  # EOF prepended
 
 
+def _activity(mu_int: np.ndarray) -> np.ndarray:
+    """Per-(pixel, channel) activity of the decoded reconstruction: local
+    gradient energy, 3x3 box-smoothed.  Purely decoder-side information —
+    high activity predicts large residuals (texture/edges reconstruct
+    worse than flats), which is what makes quantile classes informative."""
+    x = mu_int.astype(np.float64)
+    gh = np.abs(np.diff(x, axis=1, prepend=x[:, :1]))
+    gv = np.abs(np.diff(x, axis=0, prepend=x[:1]))
+    g = gh + gv
+    # 3x3 box smooth with edge replication (separable, deterministic).
+    p = np.pad(g, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    g = (p[:-2] + p[1:-1] + p[2:])
+    g = (g[:, :-2] + g[:, 1:-1] + g[:, 2:]) / 9.0
+    return g
+
+
+def _class_map(mu_int: np.ndarray, n_classes: int) -> np.ndarray:
+    """Flat int class id per (pixel, channel) from activity quantiles.
+    Identical on both sides: a deterministic f64 function of mu alone."""
+    act = _activity(mu_int).reshape(-1)
+    if n_classes <= 1:
+        return np.zeros(act.shape, np.int64)
+    qs = np.arange(1, n_classes) / n_classes
+    thresholds = np.quantile(act, qs)
+    return np.searchsorted(thresholds, act, side="right")
+
+
+def _fit_scale(residuals: np.ndarray) -> float:
+    """MLE discretized-logistic scale for centred residual levels in
+    [-128, 128), by golden-section search on the histogram NLL (the
+    histogram makes each NLL evaluation O(256) regardless of pixel count).
+    Returned as float32 so encoder and decoder build their histograms from
+    the IDENTICAL transmitted value."""
+    hist = np.bincount(residuals + 128, minlength=256).astype(np.float64)
+    binsize = 1.0 / 256.0
+    r = np.arange(-128, 128, dtype=np.float64)
+
+    from scipy.special import expit
+
+    def nll(log_s):
+        s = np.exp(log_s)
+        p = expit((r + 0.5) * binsize / s) - expit((r - 0.5) * binsize / s)
+        return -np.sum(hist * np.log(np.maximum(p, 1e-300)))
+
+    lo, hi = np.log(_MIN_SCALE), np.log(_MAX_SCALE)
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c, d = b - gr * (b - a), a + gr * (b - a)
+    fc, fd = nll(c), nll(d)
+    for _ in range(60):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - gr * (b - a)
+            fc = nll(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b - a)
+            fd = nll(d)
+    return float(np.float32(np.exp((a + b) / 2.0)))
+
+
 def encode_residual(image01: np.ndarray, recon01: np.ndarray,
-                    scale: float) -> Tuple[bytes, int]:
-    """Returns (packed stream, pixel count)."""
+                    scale: float = None, *,
+                    n_classes: int = DEFAULT_CLASSES) -> Tuple[bytes, int]:
+    """Returns (self-describing payload, pixel count).
+
+    ``scale`` (the model's global likelihood scale) is accepted for API
+    compatibility but unused: per-class scales are fitted by MLE on the
+    actual residuals and transmitted in the payload (K float32s)."""
     x = quantize(image01)
     mu = quantize(recon01)
-    r = (x - mu) % 256                       # 0..255
-    symbols = ((r + 128) % 256) + 1          # center, shift past EOF
-    msg = np.concatenate([symbols.reshape(-1), [0]]).astype(np.int32)
-    ac = ArithmeticCoder(residual_histogram(scale))
-    data, _ = ac.encode(msg)
-    return data, int(x.size)
+    r = ((x - mu) % 256).reshape(-1)               # 0..255
+    centred = ((r + 128) % 256) - 128              # -128..127
+    cls = _class_map(mu, n_classes)
+
+    scales, messages, counts = [], [], []
+    for k in range(n_classes):
+        rk = centred[cls == k]
+        s_k = _fit_scale(rk) if rk.size else 1.0 / 256.0
+        scales.append(s_k)
+        symbols = (rk + 128 + 1).astype(np.int32)  # shift past EOF
+        messages.append(np.concatenate([symbols, [0]]).astype(np.int32))
+        counts.append(residual_histogram(s_k))
+    encoded = ArithmeticCoder.encode_many(counts, messages)
+    streams = [data for data, _ in encoded]
+
+    payload = bytearray()
+    payload += struct.pack("<BB", RESIDUAL_VERSION, n_classes)
+    payload += struct.pack(f"<{n_classes}f", *scales)
+    payload += struct.pack(f"<{n_classes}I", *[len(s) for s in streams])
+    for s in streams:
+        payload += s
+    return bytes(payload), int(x.size)
 
 
-def decode_residual(data: bytes, recon01: np.ndarray, scale: float
-                    ) -> np.ndarray:
+def decode_residual(payload: Union[bytes, "ResidualSection"],
+                    recon01: np.ndarray, scale: float = None) -> np.ndarray:
     """Returns the exact original quantized image as [0,1) floats
-    (level + 0.5)/256 — the canonical dequantization."""
+    (level + 0.5)/256 — the canonical dequantization.  Accepts a raw v2
+    payload, a (tag, data) ``ResidualSection`` from ``read_rec`` (tag "R"
+    = legacy v1, needs ``scale``), or raw legacy bytes via tag "R"."""
+    tag, data = ("S", payload)
+    if hasattr(payload, "tag"):
+        tag, data = payload.tag, payload.data
     mu = quantize(recon01)
+    if tag == "R":
+        return _decode_residual_v1(data, mu, scale)
+
+    (version, n_classes) = struct.unpack_from("<BB", data, 0)
+    assert version == RESIDUAL_VERSION, f"unknown residual version {version}"
+    off = 2
+    scales = struct.unpack_from(f"<{n_classes}f", data, off)
+    off += 4 * n_classes
+    lengths = struct.unpack_from(f"<{n_classes}I", data, off)
+    off += 4 * n_classes
+
+    cls = _class_map(mu, n_classes)
+    centred = np.zeros(mu.size, np.int64)
+    for k in range(n_classes):
+        stream = data[off: off + lengths[k]]
+        off += lengths[k]
+        n_k = int(np.sum(cls == k))
+        if lengths[k] == 0:
+            continue
+        ac = ArithmeticCoder(residual_histogram(float(scales[k])))
+        msg = ac.decode(stream, len(stream) * 8, max_symbols=n_k + 2)
+        symbols = msg[:-1]
+        assert symbols.size == n_k, "residual stream length mismatch"
+        centred[cls == k] = symbols - 1 - 128
+    x = (mu.reshape(-1) + centred) % 256
+    return ((x.reshape(mu.shape).astype(np.float32)) + 0.5) / 256.0
+
+
+def _decode_residual_v1(data: bytes, mu: np.ndarray, scale: float
+                        ) -> np.ndarray:
+    """Legacy single-global-scale payload (container tag "R", rounds 3-4).
+
+    Such files were written against the pre-round-4 einsum decode replay;
+    the current pinned-scan replay is 1-ulp different at some shapes, so
+    exact pixel recovery is likely but not guaranteed — surfaced here
+    rather than silently reconstructing (ADVICE r4 #4)."""
+    warnings.warn(
+        "decoding a legacy (v1, tag 'R') residual section: written by an "
+        "earlier replay version, exact losslessness is not guaranteed "
+        "against the current decode replay", stacklevel=2)
+    assert scale is not None, "legacy residual payload needs the model scale"
     ac = ArithmeticCoder(residual_histogram(scale))
     msg = ac.decode(data, len(data) * 8, max_symbols=mu.size + 2)
     symbols = msg[:-1]

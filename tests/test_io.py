@@ -267,5 +267,10 @@ class TestContainerGolden:
         # custom-nav flag, custom-index flag, num_latents
         assert data[:28].hex() == ("09030000200000001400000010000000"
                                    "100000000300000000000200")
+        # Round-5 format break (documented, io/residual.py): the residual
+        # section tag moved "R" -> "S" when the payload became the
+        # self-describing v2 adaptive-scale format; "R" files are still
+        # read (as legacy v1) but never written.
         assert hashlib.sha256(data).hexdigest() == (
-            "8e95a15f1995c37eebd6254e88731b6826c771aacff533f71505b00bb7b10360")
+            "e03307f5a22afe2626b474e273059a7a0d70c33bb4ac8f1feeb8b3d3f00fd24d")
+        assert data[n - 8: n - 7] == b"S"

@@ -41,6 +41,50 @@ class TestResidualCoding:
         d_bad, _ = encode_residual(x, bad, scale=0.01)
         assert len(d_good) < len(d_bad) * 0.7
 
+    def test_adaptive_beats_single_class_on_heteroscedastic(self):
+        """A residual field whose magnitude tracks the reconstruction's
+        local activity (the big-image regime, VERDICT r4 weak #3) must
+        code smaller with K classes than with one."""
+        rs = np.random.RandomState(3)
+        H = W = 48
+        # Recon: half flat, half textured; residual noise follows texture.
+        recon = np.full((H, W, 3), 0.5, np.float32)
+        recon[:, W // 2:] += 0.25 * rs.randn(H, W // 2, 3).astype(np.float32)
+        recon = np.clip(recon, 0.0, 1.0 - 1e-6)
+        sigma = np.where(np.arange(W)[None, :, None] < W // 2, 0.002, 0.06)
+        x = np.clip(recon + sigma * rs.randn(H, W, 3), 0.0, 1.0 - 1e-6
+                    ).astype(np.float32)
+        d_16, _ = encode_residual(x, recon, n_classes=16)
+        d_1, _ = encode_residual(x, recon, n_classes=1)
+        np.testing.assert_array_equal(
+            quantize(decode_residual(d_16, recon)), quantize(x))
+        assert len(d_16) < len(d_1) * 0.9
+
+    def test_legacy_v1_payload_reads_with_warning(self):
+        """Pre-round-5 files (container tag "R", global-scale payload) must
+        still decode — with a warning naming the replay-version caveat
+        (ADVICE r4 #4)."""
+        import struct
+        import warnings
+
+        from rec_tpu.io import ResidualSection
+        from rec_tpu.io.arithmetic import ArithmeticCoder
+
+        rs = np.random.RandomState(4)
+        x = rs.rand(8, 8, 3).astype(np.float32)
+        recon = np.clip(x + 0.01 * rs.randn(8, 8, 3), 0, 1 - 1e-6
+                        ).astype(np.float32)
+        # Hand-write a v1 payload the way round 3/4 did.
+        xi, mu = quantize(x), quantize(recon)
+        r = (xi - mu) % 256
+        symbols = ((r + 128) % 256) + 1
+        msg = np.concatenate([symbols.reshape(-1), [0]]).astype(np.int32)
+        data, _ = ArithmeticCoder(residual_histogram(0.05)).encode(msg)
+        with pytest.warns(UserWarning, match="legacy"):
+            out01 = decode_residual(ResidualSection("R", data), recon,
+                                    scale=0.05)
+        np.testing.assert_array_equal(quantize(out01), quantize(x))
+
 
 class TestLosslessPipeline:
     @pytest.mark.slow
