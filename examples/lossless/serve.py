@@ -55,6 +55,7 @@ from rec_tpu.models.resnet_vae import (BidirectionalResNetVAE,
                                        ResNetVAEConfig)
 from rec_tpu.parallel import (make_batch_compress, make_mesh)
 from rec_tpu.parallel.mesh import data_axis_sharding, init_distributed
+from rec_tpu.parallel.serving import global_batch_array, local_rows
 from rec_tpu.train import (CheckpointManager, init_state, make_optimizer,
                            staircase_schedule)
 from rec_tpu.utils.config import apply_overrides, print_config
@@ -141,30 +142,6 @@ def load_params(cfg: Config, model, example, mesh):
     params_global = jax.device_put(host, replicated_sharding(mesh))
     params_local = jax.device_put(host)
     return params_global, params_local, ok
-
-
-def global_batch_array(np_array, mesh):
-    """Build a globally-sharded array from host-replicated numpy data.
-
-    Every process holds the SAME full batch (the loaders are deterministic);
-    the callback hands each device its slice, so no cross-host data motion
-    happens — this is the multi-host generalization of ``jax.device_put``.
-    """
-    sharding = data_axis_sharding(mesh, np_array.ndim)
-    return jax.make_array_from_callback(np_array.shape, sharding,
-                                        lambda idx: np_array[idx])
-
-
-def local_rows(arr) -> list:
-    """(global_row, host_numpy_row) pairs owned by this process, ascending."""
-    rows = {}
-    for sh in arr.addressable_shards:
-        sl = sh.index[0]
-        data = np.asarray(sh.data)
-        start = sl.start or 0
-        for k in range(data.shape[0]):
-            rows[start + k] = data[k]
-    return sorted(rows.items())
 
 
 def main(argv):

@@ -38,6 +38,69 @@ def load_hopper() -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))  # (600, 512, 3) u8
 
 
+def load_bundled_photos() -> dict:
+    """Every real photograph bundled in the installed stack (zero egress) —
+    the offline analogue of the reference's 24-photo Kodak eval set
+    (ref README.md:113).  Census of this image (VERDICT r4 missing #3):
+
+      * matplotlib grace_hopper.jpg    600x512  (portrait, indoor)
+      * sklearn  china.jpg             427x640  (architecture, outdoor)
+      * sklearn  flower.jpg            427x640  (macro, shallow DoF)
+      * pygame   camera_rgb.jpg        240x320  (webcam, person indoors)
+      * pygame   camera_background.jpg 240x320  (webcam, empty room)
+      * pygame   camera_average.jpg    240x320  (temporal average of the
+                                       SAME room scene — near-duplicate of
+                                       camera_background, so it must stay
+                                       on the same side of any split)
+      * pygame   intro_blade.jpg       150x200  (outdoor photo)
+      * pygame   intro_freedom.jpg     150x200  (outdoor photo)
+
+    Excluded: pygame camera_{yuv,hsv,green,mask,thresh*}.jpg (colorspace
+    remaps / binary masks of camera_rgb's scene, not natural photographs),
+    matplotlib logo2.png / Minduka PNG (drawings), pygame sprites.
+    """
+    from PIL import Image
+
+    def j(*parts):
+        return os.path.join(*parts)
+
+    import sklearn.datasets
+
+    skl = j(os.path.dirname(sklearn.datasets.__file__), "images")
+    import pygame
+
+    pyg = j(os.path.dirname(pygame.__file__), "docs", "generated", "_images")
+    sources = {
+        "hopper": None,  # loaded via load_hopper()
+        "china": j(skl, "china.jpg"),
+        "flower": j(skl, "flower.jpg"),
+        "camera_rgb": j(pyg, "camera_rgb.jpg"),
+        "camera_background": j(pyg, "camera_background.jpg"),
+        "camera_average": j(pyg, "camera_average.jpg"),
+        "blade": j(pyg, "intro_blade.jpg"),
+        "freedom": j(pyg, "intro_freedom.jpg"),
+    }
+    photos = {"hopper": load_hopper()}
+    for name, path in sources.items():
+        if path is None:
+            continue
+        if os.path.exists(path):
+            photos[name] = np.asarray(Image.open(path).convert("RGB"))
+    return photos
+
+
+# Photo-level train/test split for the multi-photo corpus.  TEST photos are
+# ENTIRELY held out (never cropped into any training set).  The camera_*
+# images all show ONE room scene, so they sit together on the TEST side
+# (putting any of them in training would leak the scene); camera_average is
+# dropped from the table as a temporal-average near-duplicate of
+# camera_background.  That leaves 5 distinct held-out photographs — the
+# closest honest Kodak analogue this zero-egress image permits.
+PHOTOS_TRAIN = ("hopper", "flower")
+PHOTOS_TEST = ("china", "camera_rgb", "camera_background", "blade",
+               "freedom")
+
+
 def extract_patches(img: np.ndarray, size: int, stride: int) -> np.ndarray:
     H, W = img.shape[:2]
     out = []
@@ -114,6 +177,30 @@ def main(argv):
           f"(spatial split, bottom {test_rows} rows held out)")
     print(f"hopper512: 1 full {img.shape} photo + {big.shape} train "
           f"patches -> {data_dir}/")
+
+    # ---- multi-photo corpus (round 5, VERDICT r4 missing #3) ------------
+    # Training: 384px patches (stride 32) + flips from the TRAIN photos
+    # only, for random-crop-256 training (dataset.crop_size=256, same
+    # regime as hopper384).  Test: each held-out photo as its own
+    # single-image dataset `photo_<name>_test.npz`.
+    photos = load_bundled_photos()
+    patches = []
+    for name in PHOTOS_TRAIN:
+        p = photos[name]
+        if min(p.shape[:2]) >= 384:
+            patches.append(extract_patches(p, 384, 32))
+    train384 = np.concatenate(patches)
+    train384 = np.concatenate([train384, train384[:, :, ::-1]])
+    np.savez_compressed(
+        os.path.join(data_dir, "photos384_train.npz"),
+        images=train384[rs.permutation(len(train384))].astype(np.uint8))
+    for name in PHOTOS_TEST:
+        np.savez_compressed(
+            os.path.join(data_dir, f"photo_{name}_test.npz"),
+            images=photos[name][None].astype(np.uint8))
+        print(f"photo_{name}: held-out test photo {photos[name].shape}")
+    print(f"photos384: {train384.shape} training patches from "
+          f"{PHOTOS_TRAIN} -> {data_dir}/")
 
 
 if __name__ == "__main__":

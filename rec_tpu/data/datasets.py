@@ -37,6 +37,11 @@ DATASET_SHAPES = {
     "hopper256": (256, 256, 3),
     "hopper384": (384, 384, 3),
     "hopper512": (600, 512, 3),
+    # Multi-photo corpus (examples/make_local_datasets.py round 5): 384px
+    # training patches from the TRAIN photos, plus per-photo held-out test
+    # sets named photo_<name> whose shapes vary — any dataset name outside
+    # this table resolves from its local file only (no synthetic fallback).
+    "photos384": (384, 384, 3),
 }
 
 

@@ -10,10 +10,13 @@ right distribution strategy on TPU is pure data parallelism over ICI/DCN:
 """
 
 from .batch import (make_batch_compress, make_batch_decompress,
+                    make_batch_rec_decode, make_batch_rec_forward,
                     shard_images)
 from .codec import sharded_decode_blocks, sharded_encode_blocks
 from .mesh import data_axis_sharding, make_mesh, replicated_sharding
 
 __all__ = ["make_mesh", "data_axis_sharding", "replicated_sharding",
            "sharded_encode_blocks", "sharded_decode_blocks",
-           "make_batch_compress", "make_batch_decompress", "shard_images"]
+           "make_batch_compress", "make_batch_decompress",
+           "make_batch_rec_forward", "make_batch_rec_decode",
+           "shard_images"]

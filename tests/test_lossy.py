@@ -77,6 +77,43 @@ class TestLarge4LevelVAE:
         _check_model(model, x, 4)
 
 
+class TestBatchedLossy:
+    @pytest.mark.slow
+    def test_batched_rec_forward_equals_single(self):
+        """Batched lossy serving (parallel.make_batch_rec_forward) must
+        produce per-image index streams equal to single-image rec_forward
+        for bit-identical model stats (CPU convs are shape-stable here; on
+        TPU the decode-coherence contract applies — see parallel/batch.py
+        and examples/lossy/serve.py verify)."""
+        from rec_tpu.parallel import (make_batch_rec_decode,
+                                      make_batch_rec_forward)
+
+        model = Large2LevelVAE(level_1_filters=8, level_2_filters=8,
+                               coder=CODER)
+        rs = np.random.RandomState(3)
+        images = jnp.asarray(rs.rand(4, 64, 64, 3), jnp.float32)
+        seeds = jnp.arange(50, 54)
+        params = model.init(jax.random.PRNGKey(0), images[:1],
+                            jax.random.PRNGKey(1))
+        out = make_batch_rec_forward(model)(params, images, seeds)
+        single = model.apply(params, images[2:3], 52,
+                             method=model.rec_forward)
+        for lvl in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(out["latents"][lvl][0][2]),
+                np.asarray(single["latents"][lvl][0]))
+            np.testing.assert_array_equal(
+                np.asarray(out["latents"][lvl][1][2]),
+                np.asarray(single["latents"][lvl][1]))
+        # Batched decode reproduces the batched reconstructions.
+        lat = [(out["latents"][lvl][0], out["latents"][lvl][1])
+               for lvl in range(2)]
+        recon = make_batch_rec_decode(model, (64, 64))(params, lat, seeds)
+        np.testing.assert_allclose(np.asarray(recon[:, 0]),
+                                   np.asarray(out["reconstruction"][:, 0]),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_saturation_warning(tmp_path):
     """compress_to_file must warn when any latent block's partition count
     hits the coder's static budget (silent truncation collapses quality)."""
