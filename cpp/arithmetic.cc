@@ -217,6 +217,168 @@ int rec_ac_decode(const std::int64_t* counts, int n_symbols, int precision,
 }
 
 // ---------------------------------------------------------------------------
+// Class-segmented arithmetic coding: ONE interval/stream, per-symbol
+// histogram selected by a class id the DECODER can recompute (the residual
+// codec's activity classes, rec_tpu/io/residual.py — both sides hold the
+// decoded reconstruction, so the class map costs zero side information).
+// Compared with one stream per class this removes K-1 stream terminations
+// and the per-class length table, and needs no EOF at all: the message
+// length is known to the decoder (= pixel count), so symbols are coded
+// bare with exactly one final flush.
+// ---------------------------------------------------------------------------
+
+// Encode message[k] (in [0, n_symbols)) against histogram classes[k]
+// (counts laid out as n_classes consecutive n_symbols-length histograms).
+int rec_ac_encode_classes(const std::int64_t* counts, int n_classes,
+                          int n_symbols, int precision,
+                          const std::int32_t* message,
+                          const std::int32_t* classes, std::int64_t msg_len,
+                          std::uint8_t* out, std::int64_t out_capacity_bytes,
+                          std::int64_t* out_bits) {
+  if (precision < 2 || precision > 60) return -1;
+  std::vector<std::vector<u64>> cdfs(n_classes);
+  std::vector<u64> totals(n_classes);
+  for (int c = 0; c < n_classes; ++c) {
+    cdfs[c] = make_cdf(counts + static_cast<std::int64_t>(c) * n_symbols,
+                       n_symbols);
+    totals[c] = cdfs[c][n_symbols];
+    if (totals[c] == 0 ||
+        totals[c] >= (1ull << 62) / (1ull << precision))
+      return -2;
+  }
+
+  const u64 whole = 1ull << precision;
+  const u64 half = whole >> 1;
+  const u64 quarter = whole >> 2;
+
+  std::memset(out, 0, static_cast<size_t>(out_capacity_bytes));
+  BitWriter w{out, out_capacity_bytes * 8};
+
+  u64 low = 0, high = whole;
+  std::int64_t s = 0;
+
+  for (std::int64_t k = 0; k < msg_len; ++k) {
+    const std::int32_t sym = message[k];
+    const std::int32_t cls = classes[k];
+    if (cls < 0 || cls >= n_classes) return -3;
+    const std::vector<u64>& cdf = cdfs[cls];
+    const u64 R = totals[cls];
+    if (sym < 0 || sym >= n_symbols || cdf[sym + 1] == cdf[sym]) return -3;
+    const u64 width = high - low;
+    high = low + static_cast<u64>((static_cast<u128>(width) * cdf[sym + 1]) / R);
+    low = low + static_cast<u64>((static_cast<u128>(width) * cdf[sym]) / R);
+
+    for (;;) {
+      if (high < half) {
+        w.push(0);
+        w.push_run(1, s);
+        s = 0;
+        low <<= 1;
+        high <<= 1;
+      } else if (low > half) {
+        w.push(1);
+        w.push_run(0, s);
+        s = 0;
+        low = (low - half) << 1;
+        high = (high - half) << 1;
+      } else {
+        break;
+      }
+    }
+    while (low > quarter && high < 3 * quarter) {
+      s++;
+      low = (low - quarter) << 1;
+      high = (high - quarter) << 1;
+    }
+  }
+
+  s++;
+  if (low <= quarter) {
+    w.push(0);
+    w.push_run(1, s);
+  } else {
+    w.push(1);
+    w.push_run(0, s);
+  }
+  if (w.overflow) return -4;
+  *out_bits = w.n;
+  return 0;
+}
+
+// Decode exactly msg_len symbols, position k against histogram classes[k].
+int rec_ac_decode_classes(const std::int64_t* counts, int n_classes,
+                          int n_symbols, int precision,
+                          const std::uint8_t* bits, std::int64_t nbits,
+                          const std::int32_t* classes, std::int64_t msg_len,
+                          std::int32_t* out_msg) {
+  if (precision < 2 || precision > 60) return -1;
+  std::vector<std::vector<u64>> cdfs(n_classes);
+  std::vector<u64> totals(n_classes);
+  for (int c = 0; c < n_classes; ++c) {
+    cdfs[c] = make_cdf(counts + static_cast<std::int64_t>(c) * n_symbols,
+                       n_symbols);
+    totals[c] = cdfs[c][n_symbols];
+    if (totals[c] == 0) return -2;
+  }
+
+  const u64 whole = 1ull << precision;
+  const u64 half = whole >> 1;
+  const u64 quarter = whole >> 2;
+
+  BitReader r{bits, nbits};
+  u64 low = 0, high = whole, z = 0;
+  std::int64_t i = 0;
+  for (; i < precision; ++i) z = (z << 1) | static_cast<u64>(r.get(i));
+
+  for (std::int64_t m = 0; m < msg_len; ++m) {
+    const std::int32_t cls = classes[m];
+    if (cls < 0 || cls >= n_classes) return -3;
+    const std::vector<u64>& cdf = cdfs[cls];
+    const u64 R = totals[cls];
+    const u64 width = high - low;
+    const u64 zoff = z - low;
+    int lo = 0, hi = n_symbols - 1;
+    while (lo < hi) {
+      const int mid = (lo + hi + 1) >> 1;
+      const u64 l = static_cast<u64>((static_cast<u128>(width) * cdf[mid]) / R);
+      if (l <= zoff)
+        lo = mid;
+      else
+        hi = mid - 1;
+    }
+    const int j = lo;
+    const u64 high_ = low + static_cast<u64>(
+                                (static_cast<u128>(width) * cdf[j + 1]) / R);
+    const u64 low_ = low + static_cast<u64>(
+                               (static_cast<u128>(width) * cdf[j]) / R);
+    if (!(low_ <= z && z < high_)) return -6;
+    out_msg[m] = j;
+    low = low_;
+    high = high_;
+
+    for (;;) {
+      if (high < half) {
+        low <<= 1;
+        high <<= 1;
+        z = (z << 1) | static_cast<u64>(r.get(i++));
+      } else if (low > half) {
+        low = (low - half) << 1;
+        high = (high - half) << 1;
+        z = ((z - half) << 1) | static_cast<u64>(r.get(i++));
+      } else {
+        break;
+      }
+    }
+    while (low > quarter && high < 3 * quarter) {
+      low = (low - quarter) << 1;
+      high = (high - quarter) << 1;
+      z = ((z - quarter) << 1) | static_cast<u64>(r.get(i++));
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // rANS (range asymmetric numeral systems) — the entropy coder the reference
 // declares as a TODO and never ships (ref rec/io/entropy_coding.pyx:304-306).
 // Byte-wise renormalizing rANS with a 32-bit state: decode is a tight

@@ -54,6 +54,14 @@ def _load_native() -> Optional[ctypes.CDLL]:
     lib.rec_ac_encode_many.argtypes = [i64p, i64p, i32p, ctypes.c_int, i32p,
                                        i64p, ctypes.c_int, u8p, i64p, i64p,
                                        i32p]
+    lib.rec_ac_encode_classes.restype = ctypes.c_int
+    lib.rec_ac_encode_classes.argtypes = [
+        i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p,
+        ctypes.c_int64, u8p, ctypes.c_int64, i64p]
+    lib.rec_ac_decode_classes.restype = ctypes.c_int
+    lib.rec_ac_decode_classes.argtypes = [
+        i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+        ctypes.c_int64, i32p, ctypes.c_int64, i32p]
     return lib
 
 
@@ -153,6 +161,97 @@ def _py_decode(counts: np.ndarray, data: bytes, nbits: int,
             z = ((z - quarter) << 1) | get(i); i += 1
 
 
+def _py_encode_classes(counts_2d: np.ndarray, message: np.ndarray,
+                       classes: np.ndarray,
+                       precision: int) -> Tuple[bytes, int]:
+    """Pure-Python twin of rec_ac_encode_classes (differential reference):
+    one interval, histogram row classes[k] per symbol, no EOF."""
+    cdfs = [np.concatenate([[0], np.cumsum(row)]).astype(object)
+            for row in counts_2d]
+    whole, half, quarter = (1 << precision, 1 << (precision - 1),
+                            1 << (precision - 2))
+    low, high, s = 0, whole, 0
+    bits: List[int] = []
+
+    def emit(b, run):
+        bits.append(b)
+        bits.extend([1 - b] * run)
+
+    for sym, c in zip(message, classes):
+        sym, cdf = int(sym), cdfs[int(c)]
+        R = int(cdf[-1])
+        width = high - low
+        high = low + (width * int(cdf[sym + 1])) // R
+        low = low + (width * int(cdf[sym])) // R
+        while True:
+            if high < half:
+                emit(0, s); s = 0
+                low, high = low * 2, high * 2
+            elif low > half:
+                emit(1, s); s = 0
+                low, high = (low - half) * 2, (high - half) * 2
+            else:
+                break
+        while low > quarter and high < 3 * quarter:
+            s += 1
+            low, high = (low - quarter) * 2, (high - quarter) * 2
+    s += 1
+    emit(0 if low <= quarter else 1, s)
+    return _pack_bits(bits), len(bits)
+
+
+def _py_decode_classes(counts_2d: np.ndarray, data: bytes, nbits: int,
+                       classes: np.ndarray, precision: int) -> np.ndarray:
+    cdfs = [np.concatenate([[0], np.cumsum(row)]).astype(object)
+            for row in counts_2d]
+    n_symbols = counts_2d.shape[1]
+    whole, half, quarter = (1 << precision, 1 << (precision - 1),
+                            1 << (precision - 2))
+
+    def get(i):
+        if i >= nbits:
+            return 0
+        return (data[i >> 3] >> (7 - (i & 7))) & 1
+
+    low, high, z = 0, whole, 0
+    i = 0
+    for _ in range(precision):
+        z = (z << 1) | get(i); i += 1
+
+    out = []
+    for c in classes:
+        cdf = cdfs[int(c)]
+        R = int(cdf[-1])
+        width = high - low
+        zoff = z - low
+        lo, hi = 0, n_symbols - 1
+        while lo < hi:
+            mid = (lo + hi + 1) >> 1
+            if (width * int(cdf[mid])) // R <= zoff:
+                lo = mid
+            else:
+                hi = mid - 1
+        j = lo
+        low_ = low + (width * int(cdf[j])) // R
+        high_ = low + (width * int(cdf[j + 1])) // R
+        assert low_ <= z < high_, "corrupt classed stream"
+        out.append(j)
+        low, high = low_, high_
+        while True:
+            if high < half:
+                low, high = low * 2, high * 2
+                z = (z << 1) | get(i); i += 1
+            elif low > half:
+                low, high = (low - half) * 2, (high - half) * 2
+                z = ((z - half) << 1) | get(i); i += 1
+            else:
+                break
+        while low > quarter and high < 3 * quarter:
+            low, high = (low - quarter) * 2, (high - quarter) * 2
+            z = ((z - quarter) << 1) | get(i); i += 1
+    return np.asarray(out, np.int32)
+
+
 def _pack_bits(bits: Sequence[int]) -> bytes:
     out = bytearray((len(bits) + 7) // 8)
     for i, b in enumerate(bits):
@@ -247,6 +346,58 @@ class ArithmeticCoder:
             results.append((bytes(out[start:start + (nbits + 7) // 8]),
                             nbits))
         return results
+
+    # -- class-segmented coding (one stream, per-symbol histogram) --------
+
+    @staticmethod
+    def encode_classes(counts_2d, message, classes,
+                       precision: int = 32) -> Tuple[bytes, int]:
+        """Encode ``message[k]`` against histogram row ``classes[k]`` of
+        ``counts_2d`` (K, V) in ONE arithmetic stream — no per-class
+        termination, no EOF (the decoder knows the length and the classes;
+        cpp rec_ac_encode_classes).  Returns (bytes, nbits)."""
+        counts = np.ascontiguousarray(np.asarray(counts_2d), np.int64)
+        msg, cls = _as_i32(message), _as_i32(classes)
+        assert counts.ndim == 2 and len(msg) == len(cls)
+        lib = _load_native()
+        if lib is None:
+            return _py_encode_classes(counts, msg, cls, precision)
+        bound_bits = lib.rec_ac_encode_bound_bits(len(msg), precision)
+        out = np.zeros((int(bound_bits) + 7) // 8, np.uint8)
+        out_bits = ctypes.c_int64(0)
+        rc = lib.rec_ac_encode_classes(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.shape[0], counts.shape[1], precision,
+            msg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(msg),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
+            ctypes.byref(out_bits))
+        if rc != 0:
+            raise ValueError(f"classed arithmetic encode failed (rc={rc})")
+        nbits = int(out_bits.value)
+        return bytes(out[: (nbits + 7) // 8]), nbits
+
+    @staticmethod
+    def decode_classes(counts_2d, data: bytes, nbits: int, classes,
+                       precision: int = 32) -> np.ndarray:
+        """Decode exactly ``len(classes)`` symbols, position k against
+        histogram row ``classes[k]``."""
+        counts = np.ascontiguousarray(np.asarray(counts_2d), np.int64)
+        cls = _as_i32(classes)
+        lib = _load_native()
+        if lib is None:
+            return _py_decode_classes(counts, data, nbits, cls, precision)
+        buf = np.frombuffer(data, np.uint8).copy()
+        out = np.zeros(len(cls), np.int32)
+        rc = lib.rec_ac_decode_classes(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.shape[0], counts.shape[1], precision,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbits,
+            cls.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(cls),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc != 0:
+            raise ValueError(f"classed arithmetic decode failed (rc={rc})")
+        return out
 
     def decode(self, data: bytes, nbits: int,
                max_symbols: Optional[int] = None) -> np.ndarray:

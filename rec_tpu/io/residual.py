@@ -24,12 +24,17 @@ transmits K float32 scales (~64 bytes) — the only side information.  Each
 class codes as its own arithmetic stream (they parallelize across host
 threads, like the container's per-latent streams).
 
-Payload format (version 2, stored under the container's "S" tag):
-    u8 version=2 | u8 K | f32 scales[K] | u32 stream_lengths[K] | streams
-Version-1 payloads (container tag "R") are the round-3/4 single-global-
-scale format; ``decode_residual`` still reads them but warns — they were
-also written against the pre-round-4 (einsum) decode replay, so exact
-losslessness is only guaranteed when the writer's replay matches
+Payload format (version 3, stored under the container's "S" tag):
+    u8 version=3 | u8 K | f32 scales[K] | classed stream
+The classed stream is ONE arithmetic-coded interval whose per-symbol
+histogram is the symbol's class row (cpp rec_ac_encode_classes) — no
+per-class stream terminations, no length table, and no EOF at all (the
+decoder knows the pixel count and recomputes every symbol's class), so K
+costs exactly 4K bytes of side information.  Version-2 payloads (round-5
+interim: K separate streams with a length table) and version-1 payloads
+(container tag "R": single global scale) still decode; v1 warns — those
+files were written against the pre-round-4 (einsum) decode replay, so
+exact losslessness is only guaranteed when the writer's replay matches
 (ADVICE r4 #4: detected, not silent).
 
 CONTRACT: the reconstruction entering ``encode_residual`` and
@@ -53,8 +58,8 @@ import numpy as np
 
 from .arithmetic import ArithmeticCoder
 
-ALPHABET = 257  # EOF=0 + 256 shifted residual symbols
-RESIDUAL_VERSION = 2
+ALPHABET = 257  # EOF=0 + 256 shifted residual symbols (v1/v2 streams)
+RESIDUAL_VERSION = 3
 DEFAULT_CLASSES = 16
 _MIN_SCALE = 1e-5  # in [0,1) image units; ~0.0026 levels
 _MAX_SCALE = 4.0
@@ -143,37 +148,44 @@ def _fit_scale(residuals: np.ndarray) -> float:
     return float(np.float32(np.exp((a + b) / 2.0)))
 
 
+def auto_classes(n_values: int) -> int:
+    """Class count sized to the residual.  With the v3 classed stream a
+    class costs only its 4-byte transmitted scale (the v2 multi-stream
+    format cost ~10 bytes + a termination each — measured +0.38 bpd on
+    hopper32 at a forced K=16), but a class still needs enough pixels for
+    its MLE scale to be meaningful: one class per ~1024 values, capped."""
+    return max(1, min(DEFAULT_CLASSES, n_values // 1024))
+
+
 def encode_residual(image01: np.ndarray, recon01: np.ndarray,
                     scale: float = None, *,
-                    n_classes: int = DEFAULT_CLASSES) -> Tuple[bytes, int]:
+                    n_classes: int = None) -> Tuple[bytes, int]:
     """Returns (self-describing payload, pixel count).
 
     ``scale`` (the model's global likelihood scale) is accepted for API
     compatibility but unused: per-class scales are fitted by MLE on the
-    actual residuals and transmitted in the payload (K float32s)."""
+    actual residuals and transmitted in the payload (K float32s).
+    ``n_classes=None`` auto-sizes K to the image (``auto_classes``)."""
     x = quantize(image01)
     mu = quantize(recon01)
+    if n_classes is None:
+        n_classes = auto_classes(x.size)
     r = ((x - mu) % 256).reshape(-1)               # 0..255
     centred = ((r + 128) % 256) - 128              # -128..127
     cls = _class_map(mu, n_classes)
 
-    scales, messages, counts = [], [], []
+    scales = []
     for k in range(n_classes):
         rk = centred[cls == k]
-        s_k = _fit_scale(rk) if rk.size else 1.0 / 256.0
-        scales.append(s_k)
-        symbols = (rk + 128 + 1).astype(np.int32)  # shift past EOF
-        messages.append(np.concatenate([symbols, [0]]).astype(np.int32))
-        counts.append(residual_histogram(s_k))
-    encoded = ArithmeticCoder.encode_many(counts, messages)
-    streams = [data for data, _ in encoded]
+        scales.append(_fit_scale(rk) if rk.size else 1.0 / 256.0)
+    counts = np.stack([residual_histogram(s)[1:] for s in scales])  # (K,256)
+    symbols = (centred + 128).astype(np.int32)     # 0..255, no EOF shift
+    stream, _ = ArithmeticCoder.encode_classes(counts, symbols, cls)
 
     payload = bytearray()
     payload += struct.pack("<BB", RESIDUAL_VERSION, n_classes)
     payload += struct.pack(f"<{n_classes}f", *scales)
-    payload += struct.pack(f"<{n_classes}I", *[len(s) for s in streams])
-    for s in streams:
-        payload += s
+    payload += stream
     return bytes(payload), int(x.size)
 
 
@@ -191,26 +203,33 @@ def decode_residual(payload: Union[bytes, "ResidualSection"],
         return _decode_residual_v1(data, mu, scale)
 
     (version, n_classes) = struct.unpack_from("<BB", data, 0)
-    assert version == RESIDUAL_VERSION, f"unknown residual version {version}"
+    assert version in (2, 3), f"unknown residual version {version}"
     off = 2
     scales = struct.unpack_from(f"<{n_classes}f", data, off)
     off += 4 * n_classes
-    lengths = struct.unpack_from(f"<{n_classes}I", data, off)
-    off += 4 * n_classes
-
     cls = _class_map(mu, n_classes)
-    centred = np.zeros(mu.size, np.int64)
-    for k in range(n_classes):
-        stream = data[off: off + lengths[k]]
-        off += lengths[k]
-        n_k = int(np.sum(cls == k))
-        if lengths[k] == 0:
-            continue
-        ac = ArithmeticCoder(residual_histogram(float(scales[k])))
-        msg = ac.decode(stream, len(stream) * 8, max_symbols=n_k + 2)
-        symbols = msg[:-1]
-        assert symbols.size == n_k, "residual stream length mismatch"
-        centred[cls == k] = symbols - 1 - 128
+
+    if version == 3:
+        counts = np.stack([residual_histogram(float(s))[1:] for s in scales])
+        stream = data[off:]
+        symbols = ArithmeticCoder.decode_classes(counts, stream,
+                                                 len(stream) * 8, cls)
+        centred = symbols.astype(np.int64) - 128
+    else:  # v2: one terminated stream per class + a length table
+        lengths = struct.unpack_from(f"<{n_classes}I", data, off)
+        off += 4 * n_classes
+        centred = np.zeros(mu.size, np.int64)
+        for k in range(n_classes):
+            stream = data[off: off + lengths[k]]
+            off += lengths[k]
+            n_k = int(np.sum(cls == k))
+            if lengths[k] == 0:
+                continue
+            ac = ArithmeticCoder(residual_histogram(float(scales[k])))
+            msg = ac.decode(stream, len(stream) * 8, max_symbols=n_k + 2)
+            symbols = msg[:-1]
+            assert symbols.size == n_k, "residual stream length mismatch"
+            centred[cls == k] = symbols - 1 - 128
     x = (mu.reshape(-1) + centred) % 256
     return ((x.reshape(mu.shape).astype(np.float32)) + 0.5) / 256.0
 

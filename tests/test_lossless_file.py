@@ -60,6 +60,58 @@ class TestResidualCoding:
             quantize(decode_residual(d_16, recon)), quantize(x))
         assert len(d_16) < len(d_1) * 0.9
 
+    def test_classed_stream_native_matches_python(self):
+        """v3's single classed stream: the native C++ coder and the pure-
+        Python twin must produce identical bytes and decode each other
+        (differential test, SURVEY.md §4 style)."""
+        from rec_tpu.io.arithmetic import (ArithmeticCoder, _load_native,
+                                           _py_decode_classes,
+                                           _py_encode_classes)
+
+        rs = np.random.RandomState(7)
+        counts = np.stack([residual_histogram(s)[1:]
+                           for s in (0.002, 0.02, 0.2)])
+        msg = rs.randint(0, 256, size=500).astype(np.int32)
+        cls = rs.randint(0, 3, size=500).astype(np.int32)
+        data_n, bits_n = ArithmeticCoder.encode_classes(counts, msg, cls)
+        data_p, bits_p = _py_encode_classes(counts, msg, cls, 32)
+        if _load_native() is not None:
+            assert (data_n, bits_n) == (data_p, bits_p)
+        out_n = ArithmeticCoder.decode_classes(counts, data_p, bits_p, cls)
+        out_p = _py_decode_classes(counts, data_n, bits_n, cls, 32)
+        np.testing.assert_array_equal(out_n, msg)
+        np.testing.assert_array_equal(out_p, msg)
+
+    def test_v2_payload_still_decodes(self):
+        """Round-5-interim v2 payloads (per-class streams + length table)
+        must keep decoding after the v3 switch."""
+        import struct
+
+        from rec_tpu.io.arithmetic import ArithmeticCoder
+        from rec_tpu.io.residual import _class_map
+
+        rs = np.random.RandomState(9)
+        x = rs.rand(24, 24, 3).astype(np.float32)
+        recon = np.clip(x + 0.01 * rs.randn(24, 24, 3), 0, 1 - 1e-6
+                        ).astype(np.float32)
+        xi, mu = quantize(x), quantize(recon)
+        centred = (((xi - mu) % 256).reshape(-1) + 128) % 256 - 128
+        K = 2
+        cls = _class_map(mu, K)
+        scales, streams = [], []
+        for k in range(K):
+            rk = centred[cls == k]
+            scales.append(0.01 * (k + 1))
+            msg = np.concatenate([rk + 128 + 1, [0]]).astype(np.int32)
+            data, _ = ArithmeticCoder(residual_histogram(scales[k])).encode(
+                msg)
+            streams.append(data)
+        payload = struct.pack("<BB", 2, K) + struct.pack(f"<{K}f", *scales) \
+            + struct.pack(f"<{K}I", *[len(s) for s in streams]) \
+            + b"".join(streams)
+        out01 = decode_residual(payload, recon)
+        np.testing.assert_array_equal(quantize(out01), quantize(x))
+
     def test_legacy_v1_payload_reads_with_warning(self):
         """Pre-round-5 files (container tag "R", global-scale payload) must
         still decode — with a warning naming the replay-version caveat
