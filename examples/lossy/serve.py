@@ -64,6 +64,10 @@ class Config:
         default_factory=lambda: DatasetConfig(dataset="clic2019",
                                               split="test",
                                               normalize="unit"))
+    # 0 = the model family's default filter widths (196/128 etc.); small
+    # values make CPU smoke tests tractable.
+    level_1_filters: int = 0
+    level_2_filters: int = 0
     n_beams: int = 10
     extra_samples: float = 1.0
     kl_per_partition: float = 3.0
@@ -106,7 +110,13 @@ def main(argv):
                             block_size=cfg.block_size,
                             max_partitions=cfg.max_partitions,
                             stream=cfg.stream)
-    model = MODELS[cfg.model](coder=coder)
+    kwargs = {}
+    if cfg.level_1_filters:
+        kwargs["num_filters" if cfg.model == "large_level_1_vae"
+               else "level_1_filters"] = cfg.level_1_filters
+    if cfg.level_2_filters and cfg.model != "large_level_1_vae":
+        kwargs["level_2_filters"] = cfg.level_2_filters
+    model = MODELS[cfg.model](coder=coder, **kwargs)
 
     images, synthetic = load_images(cfg.dataset)
     if synthetic:

@@ -51,3 +51,21 @@ def test_serve_data_parallel(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "served 10 images" in r.stdout
     assert len([f for f in os.listdir(tmp_path) if f.endswith(".rec")]) == 10
+
+
+def test_lossy_serve_data_parallel(tmp_path):
+    """Batched LOSSY serving CLI (examples/lossy/serve.py): sharded vmapped
+    rec_forward, per-image .rec writes, per-file index round trip + decode
+    coherence verification."""
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "lossy", "serve.py"),
+         "model=large_level_2_vae", "level_1_filters=8",
+         "level_2_filters=8", "n_beams=3", "extra_samples=1.0",
+         "block_size=128", "max_partitions=8", "batch_size=8",
+         "num_images=10", "pad_multiple=64", "dataset.dataset=clic2019",
+         f"output_dir={tmp_path}"],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "served 10 lossy images" in r.stdout
+    assert len([f for f in os.listdir(tmp_path) if f.endswith(".rec")]) == 10
