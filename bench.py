@@ -307,6 +307,39 @@ def table(ckpt_dir=DEFAULT_CKPT, dataset="hopper32"):
         dec, [(params, o["indices"], o["counts"], 4321 + i)
               for i, o in enumerate(outs)], 1), 2)
 
+    # Batched decode: vmapped decompress over the same 8 coded latents.
+    from rec_tpu.parallel import make_batch_decompress
+    bdec = make_batch_decompress(m, (H, W))
+    ind8 = jax.tree.map(lambda *ls: jnp.stack(ls),
+                        *[o["indices"] for o in outs])
+    cnt8 = jax.tree.map(lambda *ls: jnp.stack(ls),
+                        *[o["counts"] for o in outs])
+    seeds8 = jnp.asarray([4321 + i for i in range(8)])
+    rows["decode_batched_8"] = round(
+        timed(bdec, [(params, ind8, cnt8, seeds8)], 8), 2)
+
+    # Lossy-family serving row (VERDICT r4 #7): batched Large2LevelVAE
+    # rec_forward at 256px through the same mega-kernel batching rule.
+    # Untrained default-width params — the work (synthesis/analysis convs +
+    # per-level beam search at the serve budget) is shape-bound, not
+    # parameter-value-bound, so this characterizes serving throughput
+    # without requiring a lossy checkpoint on the bench machine.
+    from rec_tpu.data.datasets import DatasetConfig as _DC
+    from rec_tpu.models.lossy import Large2LevelVAE
+    from rec_tpu.parallel import make_batch_rec_forward
+    limgs, _ = load_images(_DC(dataset="hopper256", split="test",
+                               normalize="unit"))
+    limgs = normalize(limgs, "unit")
+    lx = jnp.asarray(np.concatenate([limgs] * 8)[:8], jnp.float32)
+    lcoder = dataclasses.replace(base, max_partitions=32, n_beams=10,
+                                 extra_samples=1.0, use_fused_kernel=True)
+    lmodel = Large2LevelVAE(coder=lcoder)
+    lparams = lmodel.init(jax.random.PRNGKey(0), lx[:1],
+                          jax.random.PRNGKey(1))
+    lfwd = make_batch_rec_forward(lmodel)
+    rows["lossy_level2_256px_batched_8"] = round(
+        timed(lfwd, [(lparams, lx, seeds8)], 8), 2)
+
     result = {"config": f"trained {ckpt_dir}, fitted ratios, "
                         f"budget={budget}, B=20, eps=0.2, Omega=3, "
                         f"{dataset}, 1 chip, images/sec",

@@ -31,6 +31,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import jax
 
+# "highest" forces true-f32 conv accumulation (use via
+# ``matmul_precision=highest``) for diagnosing platform-sensitive stats.
+# Note it is NOT a cure for ill-conditioned inputs: on pygame's empty-room
+# webcam photo the corpus model's forward pass is genuinely unstable (CPU
+# f32, TPU bf16 and TPU f32-highest all disagree wildly — ideal "ELBO"
+# 6.5 / 348 / 345 bpd) and highest-precision coding there was *worse*
+# (8.18 vs 6.57 coded bpd) while the budget cap + residual stream kept both
+# runs exactly lossless.  The honest fix for such photos is the cap, not
+# precision.
+if "matmul_precision=highest" in sys.argv:
+    sys.argv.remove("matmul_precision=highest")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 from rec_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
@@ -84,6 +97,13 @@ class Config:
     # Grow max_partitions to fit the probed per-block KL (the reference's
     # dynamic ceil(KL/Omega) has no static budget to overflow).
     auto_max_partitions: bool = True
+    # Hard ceiling on the auto-grown budget.  A single far-off-distribution
+    # image can probe a pathological requirement (observed: 8.9e6 partitions
+    # from an underflowed posterior scale); past the cap the affected blocks
+    # saturate (counts clamp, warned + CSV'd) and the residual stream still
+    # guarantees exact pixels, so capping trades latent-stream efficiency
+    # for a bounded schedule instead of an unbounded compile.
+    max_budget: int = 8192
     # Re-probe the required budget per image (the first-image probe can
     # undershoot a later image's KL); recompilation only happens when a
     # later image actually needs a bigger budget.
@@ -298,6 +318,13 @@ def grow_budget(cfg: Config, log, coder, need: int):
     (25% headroom, ×8 rounding).  A too-small budget silently truncates
     blocks and cascades into a garbage reconstruction."""
     budget = -(-int(need * 1.25) // 8) * 8
+    if budget > cfg.max_budget:
+        log.warning(
+            f"probed requirement {need} exceeds max_budget="
+            f"{cfg.max_budget}; capping (over-budget blocks will saturate "
+            f"— lossless via the residual stream, but inspect "
+            f"saturated_blocks in the CSV)")
+        budget = cfg.max_budget
     log.warning(
         f"max_partitions={coder.max_partitions} < required {need}; "
         f"auto-sizing to {budget} (disable with auto_max_partitions=False)")

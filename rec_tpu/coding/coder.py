@@ -67,7 +67,13 @@ class _BlockCoder:
         perm = split_permutation(root, plan)
         t, c = split_pair(target, coder, plan, perm)
         kls = block_kl(t, c)
-        return int(jnp.max(jnp.ceil(kls / self.kl_per_partition))) or 1
+        # Off-distribution inputs can drive per-dim KL to inf/NaN (scale
+        # underflow, huge loc gaps); report a finite requirement so callers
+        # can cap the budget and rely on count-saturation + the residual
+        # stream instead of sizing a schedule from a non-finite number.
+        kls = jnp.nan_to_num(kls, nan=jnp.inf, posinf=jnp.inf)
+        need = float(jnp.max(jnp.ceil(kls / self.kl_per_partition)))
+        return int(min(need, 2 ** 24)) or 1
 
     @partial(jax.jit, static_argnums=0)
     def encode(self, target: GaussianParams, coder: GaussianParams,

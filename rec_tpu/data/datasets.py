@@ -73,7 +73,6 @@ def _load_png_dir(path: str) -> Optional[np.ndarray]:
 
 def load_images(cfg: DatasetConfig) -> Tuple[np.ndarray, bool]:
     """Returns (uint8-ish images in [0, 255] float32, is_synthetic)."""
-    shape = DATASET_SHAPES[cfg.dataset]
     npz = os.path.join(cfg.data_dir, f"{cfg.dataset}_{cfg.split}.npz")
     if os.path.exists(npz):
         return np.load(npz)["images"].astype(np.float32), False
@@ -82,6 +81,14 @@ def load_images(cfg: DatasetConfig) -> Tuple[np.ndarray, bool]:
         imgs = _load_png_dir(png_dir)
         if imgs is not None:
             return np.asarray(imgs, np.float32), False
+    # Names outside the shape table (e.g. the photo_<name> held-out images)
+    # resolve from their local file ONLY: a synthetic stand-in for a "held
+    # out photograph" would silently poison results.
+    if cfg.dataset not in DATASET_SHAPES:
+        raise FileNotFoundError(
+            f"dataset {cfg.dataset!r} has no local file {npz} and no "
+            f"synthetic shape — run examples/make_local_datasets.py")
+    shape = DATASET_SHAPES[cfg.dataset]
     # Synthetic fallback: smooth random fields, deterministic per dataset
     # (crc32, not Python hash(), which is salted per process).
     import zlib

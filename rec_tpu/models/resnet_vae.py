@@ -60,6 +60,20 @@ def _conv(features, kernel, name):
                                  name=name)
 
 
+def _bounded_exp(log_scale):
+    """Scale head: exp with the log-scale clipped to ±12.
+
+    In-distribution log-scales live within a few nats of 0, so trained
+    behavior is bit-unchanged; the clip only engages on far-off-distribution
+    inputs, where an unguarded exp underflows to 0 (KL → inf) and a single
+    probe image can demand a multi-million-partition coding budget
+    (observed: pygame's empty-room webcam photo through the photos384
+    corpus model — required_partitions returned 8.9e6 on TPU).  exp(-12) ≈
+    6e-6 keeps every KL term finite while being far below any scale a
+    trained head emits."""
+    return jnp.exp(jnp.clip(log_scale, -12.0, 12.0))
+
+
 class InferBlock(nn.Module):
     """One inference-pass block: posterior head stats + residual features
     (ref resnet_vae.py:387-401)."""
@@ -109,7 +123,7 @@ class GenBlock(nn.Module):
                           "prior_loc_head")(h)
         prior_log_scale = _conv(cfg.stochastic_filters, cfg.kernel_size,
                                 "prior_log_scale_head")(h)
-        prior = GaussianParams(prior_loc, jnp.exp(prior_log_scale))
+        prior = GaussianParams(prior_loc, _bounded_exp(prior_log_scale))
 
         outs = {}
         if mode in ("train", "encode"):
@@ -119,7 +133,7 @@ class GenBlock(nn.Module):
                                   "gen_posterior_log_scale_head")(h)
             post = GaussianParams(
                 xs["infer_loc"] + gen_loc,
-                jnp.exp(xs["infer_log_scale"] + gen_log_scale))
+                _bounded_exp(xs["infer_log_scale"] + gen_log_scale))
 
         if mode == "train":
             if cfg.distribution == "cauchy":

@@ -9,6 +9,7 @@ before any backend use).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -21,8 +22,21 @@ DATA_AXIS = "data"
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up (no-op for single-process)."""
+    """Multi-host bring-up (no-op for single-process).
+
+    When every process lives on one machine (a localhost coordinator), pin
+    Gloo's CPU-collective sockets to the loopback interface: Gloo otherwise
+    enumerates interfaces and can pick one whose pairwise TCP connects are
+    unroutable (observed: a 4-process mesh hanging 300 s in "Gloo context
+    initialization failed: Connect timeout" while 2 processes worked).  The
+    coordinator address is the ground truth for which interface the job
+    actually uses, so only the localhost case is pinned, and an explicit
+    GLOO_SOCKET_IFNAME always wins.
+    """
     if num_processes and num_processes > 1:
+        host = (coordinator_address or "").rsplit(":", 1)[0]
+        if host in ("localhost", "127.0.0.1", "::1"):
+            os.environ.setdefault("GLOO_SOCKET_IFNAME", "lo")
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
